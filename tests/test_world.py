@@ -1,0 +1,189 @@
+"""End-to-end world-core tests: reset, step, criteria, scenarios, rollout."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thinktwice_tpu.maps.town import traffic_light_states, TL_GREEN, TL_RED
+from thinktwice_tpu.maps.procedural import make_grid_town
+from thinktwice_tpu.sim import reset as reset_lib
+from thinktwice_tpu.sim import scenarios as scen_lib
+from thinktwice_tpu.sim.reset import reset_world, make_scenarios
+from thinktwice_tpu.sim.step import step_world, rollout
+
+
+JIT_STEP = jax.jit(step_world, static_argnums=0)
+JIT_ROLLOUT = jax.jit(rollout, static_argnums=(0, 3, 4))
+
+
+def straight_route(x0=10.0, y=-1.75, length=150.0, n=256):
+    xs = np.linspace(x0, x0 + length, n)
+    r = np.stack([xs, np.full_like(xs, y), np.zeros_like(xs)], axis=1)
+    return jnp.asarray(r, jnp.float32)
+
+
+def full_throttle_policy(cfg, town, state):
+    return jnp.asarray([0.0, 1.0, 0.0])
+
+
+def test_reset_shapes(small_cfg, town):
+    st = reset_world(small_cfg, town, straight_route(), jax.random.key(0), n_vehicles=8)
+    assert st.traffic.pos.shape == (small_cfg.sim.max_vehicles, 2)
+    assert int(st.traffic.active.sum()) == 8
+    # spawns away from ego
+    d = np.linalg.norm(
+        np.asarray(st.traffic.pos) - np.asarray(st.ego.pos)[None], axis=1
+    )
+    assert np.all(d[np.asarray(st.traffic.active)] > 15.0)
+
+
+def test_ego_drives_straight(small_cfg, town):
+    st = reset_world(small_cfg, town, straight_route(), jax.random.key(0))
+    step = JIT_STEP
+    for _ in range(100):
+        st, ev = step(small_cfg, town, st, jnp.asarray([0.0, 1.0, 0.0]))
+    assert float(st.ego.pos[0]) > 10.5   # moved forward
+    assert abs(float(st.ego.pos[1]) - (-1.75)) < 0.1  # stayed on line
+    assert float(st.criteria.route_completion) > 0.0
+
+
+def test_rollout_completes_route(small_cfg, town):
+    route = straight_route(length=40.0)
+    st = reset_world(small_cfg, town, route, jax.random.key(1))
+    final, events = JIT_ROLLOUT(
+        small_cfg, town, st, full_throttle_policy, 1200
+    )
+    assert bool(final.criteria.finished), (
+        float(final.criteria.route_completion),
+        np.asarray(final.ego.pos),
+    )
+    assert bool(events.route_complete.any())
+
+
+def test_blocked_detection(small_cfg, town):
+    st = reset_world(small_cfg, town, straight_route(), jax.random.key(0))
+
+    def idle(cfg, town, state):
+        return jnp.zeros(3)
+
+    # blocked threshold is 90 s = 1800 ticks
+    final, _ = JIT_ROLLOUT(
+        small_cfg, town, st, idle, 1900
+    )
+    assert bool(final.criteria.blocked)
+    assert bool(final.criteria.done)
+    assert not bool(final.criteria.finished)
+
+
+def test_traffic_moves_and_stays_on_road(small_cfg, town):
+    st = reset_world(small_cfg, town, straight_route(), jax.random.key(2), n_vehicles=10)
+    step = JIT_STEP
+    p0 = np.asarray(st.traffic.pos)
+    for _ in range(200):
+        st, _ = step(small_cfg, town, st, jnp.zeros(3))
+    p1 = np.asarray(st.traffic.pos)
+    act = np.asarray(st.traffic.active)
+    moved = np.linalg.norm(p1 - p0, axis=1)
+    assert np.all(moved[act] > 1.0)  # everyone moved
+    # on-road check via raster sample
+    from thinktwice_tpu.sim.criteria import _sample_raster
+
+    on_road = np.asarray(
+        _sample_raster(town.road, town, jnp.asarray(p1))
+    )
+    assert np.all(on_road[act] > 0)
+
+
+def test_traffic_light_cycles(town):
+    states = []
+    for t in [0.0, 5.0, 11.0, 14.0, 16.0, 20.0, 30.0]:
+        states.append(np.asarray(traffic_light_states(town, jnp.asarray(t))))
+    s = np.stack(states)
+    valid = np.asarray(town.tl_valid)
+    # at least one light green at t=0, and the same light red mid-opposite-slot
+    slot0 = valid & (np.asarray(town.tl_slot) == 0)
+    slot1 = valid & (np.asarray(town.tl_slot) == 1)
+    assert np.all(s[0, slot0] == TL_GREEN)
+    assert np.all(s[0, slot1] == TL_RED)
+    # second slot's green window: t in [15, 25)
+    assert np.all(s[4, slot1] == TL_GREEN)
+    assert np.all(s[4, slot0] == TL_RED)
+    # a full cycle later, slot0 green again
+    assert np.all(s[6, slot0] == TL_GREEN)
+
+
+def test_collision_event_counted_once(small_cfg, town):
+    # plant a stationary walker right on the ego's path (walkers hold pose;
+    # active traffic vehicles would drive off under the NPC policy)
+    st = reset_world(small_cfg, town, straight_route(), jax.random.key(0))
+    import dataclasses
+
+    wk = st.walkers
+    wk = dataclasses.replace(
+        wk,
+        pos=wk.pos.at[0].set(jnp.asarray([20.0, -1.75])),
+        yaw=wk.yaw.at[0].set(0.0),
+        speed=wk.speed.at[0].set(0.0),
+        active=wk.active.at[0].set(True),
+    )
+    st = dataclasses.replace(st, walkers=wk)
+    step = JIT_STEP
+    n_events = 0
+    for _ in range(300):
+        st, ev = step(small_cfg, town, st, jnp.asarray([0.0, 1.0, 0.0]))
+        n_events += int(ev.collision_walker)
+    assert float(st.ego.pos[0]) > 25.0  # drove past the walker
+    assert int(st.criteria.n_collision_walker) >= 1
+    # rising-edge latch: push-through contact counts a small number of times,
+    # not once per tick
+    assert n_events <= 3
+
+
+def test_dynamic_crossing_scenario(small_cfg, town):
+    route = straight_route()
+    scen = make_scenarios(
+        small_cfg,
+        kinds=np.asarray([scen_lib.KIND_DYNAMIC_CROSSING]),
+        trigger_pos=np.asarray([[40.0, -1.75]]),
+        actor_idx=np.asarray([0]),
+        params=np.asarray([[15.0, np.pi / 2, 0.0, 0.0]]),
+    )
+    st = reset_world(small_cfg, town, route, jax.random.key(0), scenario=scen)
+    step = JIT_STEP
+    walker_seen = False
+    for _ in range(600):
+        st, _ = step(small_cfg, town, st, jnp.asarray([0.0, 0.6, 0.0]))
+        walker_seen = walker_seen or bool(st.walkers.active[0])
+    assert walker_seen
+    # after CROSSING_DURATION the walker deactivates
+    assert not bool(st.walkers.active[0])
+
+
+def test_vmapped_worlds(small_cfg, town):
+    routes = jnp.stack([straight_route(), straight_route(y=1.75)])
+    keys = jax.random.split(jax.random.key(0), 2)
+    reset_v = jax.vmap(lambda r, k: reset_world(small_cfg, town, r, k, n_vehicles=4))
+    sts = reset_v(routes, keys)
+    step_v = jax.jit(
+        jax.vmap(lambda s, c: step_world(small_cfg, town, s, c)),
+    )
+    ctrl = jnp.tile(jnp.asarray([0.0, 1.0, 0.0])[None], (2, 1))
+    for _ in range(50):
+        sts, _ = step_v(sts, ctrl)
+    assert np.all(np.asarray(sts.ego.pos[:, 0]) > 10.5)
+
+
+def test_determinism(small_cfg, town):
+    route = straight_route()
+
+    def run():
+        st = reset_world(small_cfg, town, route, jax.random.key(7), n_vehicles=6)
+        final, _ = JIT_ROLLOUT(
+            small_cfg, town, st, full_throttle_policy, 200
+        )
+        return np.asarray(final.ego.pos), np.asarray(final.traffic.pos)
+
+    a1, t1 = run()
+    a2, t2 = run()
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(t1, t2)

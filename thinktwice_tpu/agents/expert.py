@@ -1,0 +1,214 @@
+"""Closed-loop Roach expert: drive + collect supervision, fully in-graph.
+
+Re-creates the data-collection agent
+(leaderboard/team_code/roach_ap_agent_data_collection.py:94-899) as pure
+functions over WorldState:
+
+- observation: privileged birdview + state vector
+  [throttle, steer, brake, gear, vel_x, vel_y]
+  (roach/utils/rl_birdview_wrapper.py state flattening),
+- policy cadence: every 2nd tick (10 Hz) with the action held in between
+  (roach_ap_agent:462-465),
+- rule-based emergency brake from a geometric hazard forecast
+  (_is_vehicle_hazard :536-569, _is_walker_hazard :519-534) which also sets
+  the `only_ap_brake` supervision flag,
+- dataset frame every 10th tick (2 Hz, :501-502): measurements + Roach
+  supervision (action, alpha/beta, value, features, cnn feature grids).
+
+`collect_rollout` scans macro-steps so the heavy observation renders exactly
+once per saved frame cadence; stacked outputs come back as one pytree —
+the vmapped version of this (parallel/collect.py) replaces the reference's
+one-CARLA-server-per-GPU collection fleet.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from thinktwice_tpu.agents.roach import (
+    RoachPolicy,
+    acc_to_control,
+    beta_mode,
+)
+from thinktwice_tpu.config import Config
+from thinktwice_tpu.maps.town import TownMap
+from thinktwice_tpu.sensors.birdview import birdview_from_state
+from thinktwice_tpu.sim.state import WorldState
+from thinktwice_tpu.sim.step import step_world
+
+
+def state_vector(state: WorldState) -> jax.Array:
+    """[throttle, steer, brake, gear, vel_x, vel_y] in ego frame. The bicycle
+    model has no lateral slip, so vel = (speed, 0)."""
+    ctrl = state.ego.control  # (steer, throttle, brake)
+    return jnp.stack(
+        [
+            ctrl[1],
+            ctrl[0],
+            ctrl[2],
+            jnp.asarray(1.0),
+            state.ego.speed,
+            jnp.asarray(0.0),
+        ]
+    )
+
+
+def hazard_brake(cfg: Config, state: WorldState) -> jax.Array:
+    """Geometric emergency-brake rule (roach_ap_agent:519-569): brake if a
+    vehicle sits in the ego's forward corridor or a walker is near the
+    forecast path. Returns () bool."""
+    ego = state.ego
+    fwd = jnp.stack([jnp.cos(ego.yaw), jnp.sin(ego.yaw)])
+    right = jnp.stack([-jnp.sin(ego.yaw), jnp.cos(ego.yaw)])
+    horizon = jnp.maximum(ego.speed * 2.0, 8.0)
+
+    def in_corridor(pos, active, lat_margin):
+        rel = pos - ego.pos[None]
+        along = rel @ fwd
+        lat = jnp.abs(rel @ right)
+        return jnp.any(
+            (along > 0.0) & (along < horizon) & (lat < lat_margin) & active
+        )
+
+    veh = in_corridor(state.traffic.pos, state.traffic.active, 2.5)
+    wlk = in_corridor(state.walkers.pos, state.walkers.active, 3.5)
+    return veh | wlk
+
+
+def expert_control(
+    cfg: Config, params, town: TownMap, state: WorldState
+) -> tuple[jax.Array, dict[str, Any]]:
+    """One policy evaluation -> (control (3,), supervision dict)."""
+    obs = birdview_from_state(cfg.birdview, town, state)
+    sv = state_vector(state)
+    out = RoachPolicy(
+        features_dim=cfg.roach.features_dim,
+        states_neurons=cfg.roach.states_neurons,
+        policy_head_arch=cfg.roach.policy_head,
+        value_head_arch=cfg.roach.value_head,
+        action_dim=cfg.roach.action_dim,
+    ).apply(params, obs[None], sv[None])
+
+    action = beta_mode(out["alpha"], out["beta"])[0]          # (2,)
+    control = acc_to_control(action[None])[0]                 # (3,)
+
+    brake_now = hazard_brake(cfg, state)
+    only_ap_brake = brake_now & (control[2] < 0.5)
+    control = jnp.where(
+        brake_now,
+        jnp.stack([control[0], jnp.asarray(0.0), jnp.asarray(1.0)]),
+        control,
+    )
+
+    supervision = {
+        "action": action,
+        "alpha": out["alpha"][0],
+        "beta": out["beta"][0],
+        "value": out["value"][0, 0],
+        "features": out["features"][0],
+        # distillation grids at 21/10/4/2 resolution = conv layers 3..6
+        # (thinktwice_decoder.py feature losses; XtMaCNN cnn_feature list)
+        "cnn_features": tuple(f[0] for f in out["cnn_features"][2:]),
+        "only_ap_brake": only_ap_brake,
+        "birdview": obs,
+        "state_vec": sv,
+    }
+    return control, supervision
+
+
+def make_expert_policy(cfg: Config, params):
+    """policy_fn for sim.step.rollout (control only, every tick)."""
+
+    def policy_fn(cfg_, town, state):
+        control, _ = expert_control(cfg, params, town, state)
+        return control
+
+    return policy_fn
+
+
+@dataclasses.dataclass(frozen=True)
+class Frame:
+    """One saved dataset frame (≈ measurements JSON + supervision npy)."""
+
+    pos: jax.Array
+    yaw: jax.Array
+    speed: jax.Array
+    control: jax.Array
+    target_point: jax.Array     # next sparse route target in ego frame
+    route_completion: jax.Array
+    supervision: dict[str, Any]
+
+
+jax.tree_util.register_dataclass(
+    Frame,
+    data_fields=["pos", "yaw", "speed", "control", "target_point",
+                 "route_completion", "supervision"],
+    meta_fields=[],
+)
+
+
+def _target_point(state: WorldState, lookahead_m: float = 50.0) -> jax.Array:
+    """Ego-frame coordinates of the route point ~lookahead_m ahead (the
+    target_point input of the student model; planner.py windowed target)."""
+    idx = state.criteria.route_idx
+    cum = state.route_cumlen
+    target_s = cum[idx] + lookahead_m
+    tidx = jnp.searchsorted(cum, target_s)
+    tidx = jnp.clip(tidx, 0, state.route.shape[0] - 1)
+    rel = state.route[tidx, :2] - state.ego.pos
+    c, s = jnp.cos(-state.ego.yaw), jnp.sin(-state.ego.yaw)
+    return jnp.stack([rel[0] * c - rel[1] * s, rel[0] * s + rel[1] * c])
+
+
+def collect_rollout(
+    cfg: Config,
+    params,
+    town: TownMap,
+    state: WorldState,
+    n_frames: int,
+    ticks_per_frame: int = 10,
+    policy_every: int = 2,
+):
+    """Drive the expert and record a frame every `ticks_per_frame` ticks
+    (2 Hz at the 20 Hz sim rate, roach_ap_agent:501). Returns
+    (final_state, Frames stacked on axis 0)."""
+
+    def macro(carry, _):
+        st, held = carry
+
+        def tick(inner, k):
+            st_i, held_i = inner
+            recompute = (k % policy_every) == 0
+
+            def fresh():
+                c, _ = expert_control(cfg, params, town, st_i)
+                return c
+
+            ctrl = jax.lax.cond(recompute, fresh, lambda: held_i)
+            st_o, _ = step_world(cfg, town, st_i, ctrl)
+            return (st_o, ctrl), None
+
+        # record supervision at the *start* of the macro step, then advance
+        ctrl_now, sup = expert_control(cfg, params, town, st)
+        frame = Frame(
+            pos=st.ego.pos,
+            yaw=st.ego.yaw,
+            speed=st.ego.speed,
+            control=ctrl_now,
+            target_point=_target_point(st),
+            route_completion=st.criteria.route_completion,
+            supervision=sup,
+        )
+        (st, held), _ = jax.lax.scan(
+            tick, (st, ctrl_now), jnp.arange(ticks_per_frame)
+        )
+        return (st, held), frame
+
+    (final, _), frames = jax.lax.scan(
+        macro, (state, jnp.zeros(3)), None, length=n_frames
+    )
+    return final, frames

@@ -1,0 +1,224 @@
+"""The world step: one 20 Hz tick as a pure function, and scan-based rollouts.
+
+Mirrors ScenarioManager._tick_scenario
+(leaderboard/leaderboard/scenarios/scenario_manager.py:141-187), whose order
+is: timestamps update -> agent acts -> apply_control -> behavior tree tick ->
+criteria -> world.tick. Here the agent acts *outside* (the caller passes the
+control), and everything else fuses into one jit region:
+
+    apply ego control -> traffic policy -> integrate all actors ->
+    scenario state machines -> light phases -> criteria -> history ring.
+
+`rollout` wraps it in `lax.scan` with a policy callback so sense->plan->act->
+step never leaves the device; `jax.vmap(step_world, ...)` batches worlds.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from thinktwice_tpu.config import Config
+from thinktwice_tpu.maps.town import TownMap, traffic_light_states
+from thinktwice_tpu.sim import scenarios as scen_lib
+from thinktwice_tpu.sim.criteria import update_criteria
+from thinktwice_tpu.sim.dynamics import bicycle_step, point_mass_step
+from thinktwice_tpu.sim.state import (
+    EgoState,
+    Events,
+    HistoryState,
+    TrafficState,
+    WalkerState,
+    WorldState,
+)
+from thinktwice_tpu.sim.traffic import traffic_policy
+
+
+def _push_history(hist: HistoryState, traffic, walkers, tl_states) -> HistoryState:
+    ptr = hist.ptr
+    veh_pose = jnp.concatenate(
+        [traffic.pos, traffic.yaw[:, None], traffic.extent], axis=-1
+    )
+    wlk_pose = jnp.concatenate(
+        [walkers.pos, walkers.yaw[:, None], walkers.extent], axis=-1
+    )
+    return HistoryState(
+        veh_pose=hist.veh_pose.at[ptr].set(veh_pose),
+        veh_active=hist.veh_active.at[ptr].set(traffic.active),
+        wlk_pose=hist.wlk_pose.at[ptr].set(wlk_pose),
+        wlk_active=hist.wlk_active.at[ptr].set(walkers.active),
+        tl_state=hist.tl_state.at[ptr].set(tl_states.astype(jnp.int8)),
+        ptr=(ptr + 1) % hist.veh_pose.shape[0],
+        count=jnp.minimum(hist.count + 1, hist.veh_pose.shape[0]),
+    )
+
+
+def step_world(
+    cfg: Config, town: TownMap, state: WorldState, control
+) -> tuple[WorldState, Events]:
+    """Advance one tick. `control` = (3,) f32 (steer, throttle, brake).
+
+    When the route is done (`criteria.done`), the world freezes (identity
+    update) so vmapped batches can run to a fixed horizon; per-world masking
+    replaces the reference's per-route process teardown.
+    """
+    sim = cfg.sim
+    rng, rng_scen = jax.random.split(state.rng)
+
+    t = state.time_s
+    tl_states = traffic_light_states(town, t)
+
+    # --- scenarios (may inject walkers / overrides / ego steer noise) -----
+    scen, walkers, npc_speed_cap, steer_noise = scen_lib.step_scenarios(
+        cfg, state.scenario, state.ego.pos, state.walkers, state.traffic, rng_scen, sim.dt
+    )
+
+    # --- ego integration ---------------------------------------------------
+    steer = jnp.clip(control[0] + steer_noise, -1.0, 1.0)
+    throttle = jnp.clip(control[1], 0.0, 1.0)
+    brake = control[2]
+    prev_pos = state.ego.pos
+    e_pos, e_yaw, e_speed = bicycle_step(
+        sim,
+        state.ego.pos,
+        state.ego.yaw,
+        state.ego.speed,
+        steer,
+        throttle,
+        brake,
+        drag=sim.drag,
+    )
+    ego = EgoState(
+        pos=e_pos,
+        yaw=e_yaw,
+        speed=e_speed,
+        extent=state.ego.extent,
+        control=jnp.stack([steer, throttle, brake]),
+    )
+
+    # --- traffic -----------------------------------------------------------
+    tr = state.traffic
+    yaw_rate, accel, new_wp = traffic_policy(
+        sim,
+        town,
+        tl_states,
+        tr.pos,
+        tr.yaw,
+        tr.speed,
+        tr.extent,
+        tr.wp_idx,
+        tr.active,
+        state.ego.pos,
+        state.ego.yaw,
+        state.ego.extent,
+        walkers.pos,
+        walkers.extent,
+        walkers.active,
+    )
+    # scenario speed caps (lead-vehicle brake): clamp desired accel so speed
+    # decays toward the cap
+    over_cap = tr.speed > npc_speed_cap
+    accel = jnp.where(over_cap, -sim.npc_decel, accel)
+
+    t_pos, t_yaw, t_speed = point_mass_step(
+        tr.pos, tr.yaw, tr.speed, yaw_rate, accel, sim.dt
+    )
+    active_f = tr.active
+    traffic = TrafficState(
+        pos=jnp.where(active_f[:, None], t_pos, tr.pos),
+        yaw=jnp.where(active_f, t_yaw, tr.yaw),
+        speed=jnp.where(active_f, t_speed, tr.speed),
+        extent=tr.extent,
+        wp_idx=jnp.where(active_f, new_wp, tr.wp_idx),
+        active=tr.active,
+    )
+
+    # --- walkers ------------------------------------------------------------
+    w_pos, w_yaw, w_speed = point_mass_step(
+        walkers.pos, walkers.yaw, walkers.speed, jnp.zeros_like(walkers.yaw),
+        jnp.zeros_like(walkers.speed), sim.dt
+    )
+    wact = walkers.active
+    walkers = WalkerState(
+        pos=jnp.where(wact[:, None], w_pos, walkers.pos),
+        yaw=walkers.yaw,
+        speed=walkers.speed,
+        extent=walkers.extent,
+        active=walkers.active,
+    )
+
+    # --- criteria -----------------------------------------------------------
+    crit, events = update_criteria(
+        cfg,
+        town,
+        state.criteria,
+        prev_pos,
+        ego.pos,
+        ego.yaw,
+        ego.speed,
+        ego.extent,
+        traffic.pos,
+        traffic.yaw,
+        traffic.extent,
+        traffic.active,
+        walkers.pos,
+        walkers.yaw,
+        walkers.extent,
+        walkers.active,
+        tl_states,
+        state.route,
+        state.route_cumlen,
+        state.route_len_m,
+        t + sim.dt,
+    )
+
+    history = _push_history(state.history, traffic, walkers, tl_states)
+
+    new_state = WorldState(
+        tick=state.tick + 1,
+        ego=ego,
+        traffic=traffic,
+        walkers=walkers,
+        route=state.route,
+        route_cumlen=state.route_cumlen,
+        route_len_m=state.route_len_m,
+        criteria=crit,
+        history=history,
+        scenario=scen,
+        rng=rng,
+    )
+
+    # freeze when done (per-world termination mask)
+    frozen = jax.tree.map(
+        lambda new, old: jnp.where(state.criteria.done, old, new), new_state, state
+    )
+    # but keep `done`/tick updated so downstream logic sees terminal status
+    frozen = dataclasses_replace_tick(frozen, new_state)
+    no_events = jax.tree.map(lambda e: jnp.zeros_like(e), events)
+    events = jax.tree.map(
+        lambda e, z: jnp.where(state.criteria.done, z, e), events, no_events
+    )
+    return frozen, events
+
+
+def dataclasses_replace_tick(frozen: WorldState, new: WorldState) -> WorldState:
+    import dataclasses
+
+    return dataclasses.replace(frozen, tick=new.tick)
+
+
+def rollout(cfg: Config, town: TownMap, state: WorldState, policy_fn, n_steps: int):
+    """Scan a closed-loop rollout: policy_fn(cfg, town, state) -> (3,) control.
+
+    Returns (final_state, stacked Events). The policy runs in-graph — this is
+    the "sense->plan->act->step never leaves TPU" loop from BASELINE.json.
+    """
+
+    def body(carry, _):
+        st = carry
+        ctrl = policy_fn(cfg, town, st)
+        st2, ev = step_world(cfg, town, st, ctrl)
+        return st2, ev
+
+    final, events = jax.lax.scan(body, state, None, length=n_steps)
+    return final, events

@@ -1,0 +1,142 @@
+"""Background-traffic autopilot: a vectorized stand-in for CARLA's
+TrafficManager (which the reference drives via `request_new_batch_actors`
+with autopilot=True, carla_data_provider.py + route_scenario.py:473-508).
+
+Behavioral contract it reproduces:
+- follow the lane network at a cruise speed,
+- keep a speed-dependent gap to the leading actor (IDM-style),
+- stop at red/yellow lights before the stop line,
+- yield to walkers on the road ahead.
+
+All V vehicles update in one fused computation: O(V^2) pairwise gap logic is a
+few thousand FLOPs — noise for the VPU — so there is no spatial index, no
+sorting, no dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from thinktwice_tpu.config import SimConfig
+from thinktwice_tpu.geometry import wrap_angle
+from thinktwice_tpu.maps.town import TownMap, TL_RED, TL_YELLOW
+
+
+def _lookahead_target(town: TownMap, wp_idx, pos, lookahead_m: float):
+    """Chase a point ~lookahead_m ahead along the lane by chaining successor
+    pointers. Lane waypoints are ~2 m apart, so ceil(lookahead/2)+1 hops cover
+    it; hop count is static → unrolled gathers, XLA-friendly."""
+    hops = int(lookahead_m // 2) + 1
+    idx = wp_idx
+    for _ in range(hops):
+        idx = town.lane_next[idx]
+    return town.lane_pts[idx]
+
+
+def _advance_wp(town: TownMap, wp_idx, pos):
+    """Advance the target waypoint pointer once it is passed (within 2.5 m or
+    behind the vehicle is unnecessary — distance check suffices at 20 Hz)."""
+    target = town.lane_pts[wp_idx]
+    reached = jnp.linalg.norm(target - pos, axis=-1) < 2.5
+    return jnp.where(reached, town.lane_next[wp_idx], wp_idx)
+
+
+def _front_gap(pos, yaw, speed, all_pos, all_ext, all_active, self_mask):
+    """Distance to the nearest actor inside a forward corridor.
+
+    pos/yaw/speed: (V, ...) of the deciding vehicles; all_*: (A, ...) of every
+    collidable actor (traffic + ego + walkers). Returns (V,) gap in meters
+    (large when free).
+    """
+    fwd = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)], axis=-1)          # (V, 2)
+    right = jnp.stack([-jnp.sin(yaw), jnp.cos(yaw)], axis=-1)
+    rel = all_pos[None, :, :] - pos[:, None, :]                      # (V, A, 2)
+    along = jnp.einsum("vac,vc->va", rel, fwd)
+    lateral = jnp.abs(jnp.einsum("vac,vc->va", rel, right))
+    in_corridor = (
+        (along > 0.1)
+        & (along < 40.0)
+        & (lateral < 2.2 + all_ext[None, :, 1])
+        & all_active[None, :]
+        & ~self_mask
+    )
+    gap = jnp.where(in_corridor, along - all_ext[None, :, 0], 1e4)
+    return jnp.min(gap, axis=-1)
+
+
+def _red_light_dist(town: TownMap, tl_states, pos, yaw):
+    """Distance to the nearest red/yellow stop point that this vehicle is
+    approaching (same heading ±45°, ahead, within tl_stop_distance)."""
+    fwd = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)], axis=-1)           # (V, 2)
+    rel = town.tl_pos[None, :, :] - pos[:, None, :]                  # (V, NL, 2)
+    along = jnp.einsum("vlc,vc->vl", rel, fwd)
+    lateral = jnp.abs(
+        rel[..., 0] * (-jnp.sin(yaw))[:, None] + rel[..., 1] * jnp.cos(yaw)[:, None]
+    )
+    heading_ok = jnp.abs(wrap_angle(town.tl_yaw[None, :] - yaw[:, None])) < jnp.pi / 4
+    stopping = (tl_states == TL_RED) | (tl_states == TL_YELLOW)
+    relevant = (
+        (along > -2.0)
+        & (lateral < 3.0)
+        & heading_ok
+        & stopping[None, :]
+        & town.tl_valid[None, :]
+    )
+    d = jnp.where(relevant, along, 1e4)
+    return jnp.min(d, axis=-1)
+
+
+def traffic_policy(
+    cfg: SimConfig,
+    town: TownMap,
+    tl_states,
+    veh_pos,
+    veh_yaw,
+    veh_speed,
+    veh_ext,
+    veh_wp,
+    veh_active,
+    ego_pos,
+    ego_yaw,
+    ego_ext,
+    wlk_pos,
+    wlk_ext,
+    wlk_active,
+):
+    """Compute (yaw_rate, accel, new_wp_idx) for all traffic vehicles."""
+    V = veh_pos.shape[0]
+
+    # --- steering: pure pursuit on the lane lookahead point ---
+    target = _lookahead_target(town, veh_wp, veh_pos, cfg.npc_lookahead)
+    to_t = target - veh_pos
+    bearing = jnp.arctan2(to_t[..., 1], to_t[..., 0])
+    err = wrap_angle(bearing - veh_yaw)
+    yaw_rate = jnp.clip(err / 0.5, -cfg.npc_max_yaw_rate, cfg.npc_max_yaw_rate)
+
+    # --- longitudinal: IDM-lite over pooled actors ---
+    all_pos = jnp.concatenate([veh_pos, ego_pos[None], wlk_pos], axis=0)
+    all_ext = jnp.concatenate([veh_ext, ego_ext[None], wlk_ext], axis=0)
+    all_active = jnp.concatenate(
+        [veh_active, jnp.ones((1,), bool), wlk_active], axis=0
+    )
+    A = all_pos.shape[0]
+    self_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (V, A), 1)
+        == jax.lax.broadcasted_iota(jnp.int32, (V, A), 0)
+    )
+    gap = _front_gap(veh_pos, veh_yaw, veh_speed, all_pos, all_ext, all_active, self_mask)
+
+    d_red = _red_light_dist(town, tl_states, veh_pos, veh_yaw)
+    gap = jnp.minimum(gap, jnp.where(d_red < cfg.tl_stop_distance, d_red - 2.0, 1e4))
+
+    desired_gap = cfg.npc_gap + veh_speed * cfg.npc_time_headway
+    v_des = jnp.where(
+        gap < desired_gap,
+        cfg.npc_cruise_speed * jnp.clip((gap - 2.0) / jnp.maximum(desired_gap, 1e-3), 0.0, 1.0),
+        cfg.npc_cruise_speed,
+    )
+    accel = jnp.clip((v_des - veh_speed) / 0.5, -cfg.npc_decel, cfg.npc_accel)
+
+    new_wp = _advance_wp(town, veh_wp, veh_pos)
+    return yaw_rate, accel, new_wp
