@@ -91,7 +91,7 @@ def test_tl_channel_values(small_cfg, town):
         st, _ = JIT_STEP(small_cfg, town, st, jnp.zeros(3))
     bv = render(small_cfg, town, st)
     tl_latest = bv[11 + 3]  # last history idx -> channel 14
-    vals = set(np.round(np.unique(tl_latest), 3))
+    vals = set(np.round(np.unique(tl_latest).astype(np.float64), 3))
     # only the legal palette appears: 0, 80/255, 170/255, 255/255
     legal = {0.0, round(80 / 255, 3), round(170 / 255, 3), 1.0}
     assert vals <= legal
