@@ -1,0 +1,84 @@
+"""Lidar BEV encoder: dense pillar encoder replacing spconv.
+
+The reference LidarNet (code/model_code/backbones/lidarnet.py:24-96) is the
+mmdet3d MVX pipeline: CUDA voxelize (0.057 m cells, caps 120k/160k voxels,
+configs/thinktwice.py:160-166) -> HardSimpleVFE (mean of point features) ->
+spconv SparseEncoder over a 41x672x672 grid -> SECOND -> SECONDFPN.
+
+spconv has no TPU analog (SURVEY §7.4 item 5); at this point-cloud-range the
+idiomatic TPU re-design is a *pillar* grid at 0.2286 m (168x168 after the
+conv stack input of 336x336) encoded densely:
+- voxelization = segment_mean over pillar ids (fixed capacity, masked points
+  — no 120k-voxel cap needed since pillars are dense),
+- the sparse 3D encoder becomes a dense 2D conv stack (the z extent was
+  already collapsed to BEV by the reference's own pipeline),
+- SECOND/SECONDFPN keep their layer structure with GroupNorm.
+
+Output: high-res BEV (B, 84, 84, 512) consumed by the fusion convs
+(encoder_decoder_framework.py conv_lidar downsamples 84->42->21) and the
+decoder's lidar look branch.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from thinktwice_tpu.config import ModelConfig
+from thinktwice_tpu.models.layers import ConvGN
+
+PILLAR_GRID = 336          # input pillar grid (336x336 over 38.4 m -> 0.114 m)
+POINT_FEATS = 5            # x, y, z, intensity, dt
+
+
+def pillarize(points, mask, cfg: ModelConfig, grid: int = PILLAR_GRID):
+    """points (P, 5) in ego frame, mask (P,) valid -> (grid, grid, 8) mean
+    pillar features (HardSimpleVFE semantics: mean of raw features; plus
+    count and mean offsets for a richer but still param-free encoding)."""
+    cell_x = (cfg.bev_x_max - cfg.bev_x_min) / grid
+    cell_y = (cfg.bev_y_max - cfg.bev_y_min) / grid
+    xi = jnp.floor((points[:, 0] - cfg.bev_x_min) / cell_x).astype(jnp.int32)
+    yi = jnp.floor((points[:, 1] - cfg.bev_y_min) / cell_y).astype(jnp.int32)
+    inb = mask & (xi >= 0) & (xi < grid) & (yi >= 0) & (yi < grid)
+    pid = jnp.where(inb, yi * grid + xi, grid * grid)
+
+    feats = jnp.where(inb[:, None], points, 0.0)
+    sums = jax.ops.segment_sum(feats, pid, num_segments=grid * grid + 1)
+    cnt = jax.ops.segment_sum(
+        inb.astype(jnp.float32), pid, num_segments=grid * grid + 1
+    )
+    mean = sums[:-1] / jnp.maximum(cnt[:-1, None], 1.0)
+    occ = (cnt[:-1] > 0).astype(jnp.float32)
+    logcnt = jnp.log1p(cnt[:-1])
+    out = jnp.concatenate([mean, occ[:, None], logcnt[:, None]], axis=-1)
+    return out.reshape(grid, grid, POINT_FEATS + 2)
+
+
+class LidarNet(nn.Module):
+    """(B, P, 5) points + (B, P) mask -> (B, 84, 84, 512) BEV features."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, points, mask):
+        pillars = jax.vmap(lambda p, m: pillarize(p, m, self.cfg))(points, mask)
+
+        x = ConvGN(32)(pillars)            # 336
+        x = ConvGN(64, stride=2)(x)        # 168
+        x = ConvGN(64)(x)
+        x = ConvGN(128, stride=2)(x)       # 84
+        # SECOND-style blocks at stride 1 and 2
+        a = x
+        for _ in range(3):
+            a = ConvGN(128)(a)
+        b = ConvGN(256, stride=2)(a)       # 42
+        for _ in range(3):
+            b = ConvGN(256)(b)
+        # SECONDFPN: upsample b to 84, concat -> 512 channels
+        b_up = jax.image.resize(
+            b, (b.shape[0], a.shape[1], a.shape[2], b.shape[-1]), "nearest"
+        )
+        b_up = ConvGN(256, kernel=1)(b_up)
+        a = ConvGN(256, kernel=1)(a)
+        return jnp.concatenate([a, b_up], axis=-1)   # (B, 84, 84, 512)

@@ -1,0 +1,139 @@
+"""Shared ray-casting core for the camera raster and lidar.
+
+The reference gets RGB/depth/semantic cameras and lidar from UE4 sensor
+actors inside the CARLA server (spawned by AgentWrapper.setup_sensors,
+leaderboard/leaderboard/autoagents/agent_wrapper.py:99-230) — out-of-process
+renders streamed over TCP. Here the scene is analytic: a textured ground
+plane (the town rasters) + oriented boxes (vehicles, walkers) + traffic-light
+poles, intersected in one fused batch of slab tests. Semantics and depth come
+from the same intersection, so camera RGB / depth / semantic and lidar all
+share this kernel.
+
+Semantic ids follow the CARLA palette subset the reference trains on
+(configs/thinktwice.py seg_label_idxs + 3 TL colors; loading.py LoadSeg):
+0 none/sky, 1 road, 2 sidewalk, 3 lane marking, 4 vehicle, 5 walker,
+6 terrain, 7 pole, 8 tl_green, 9 tl_yellow, 10 tl_red.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from thinktwice_tpu.maps.town import TownMap
+
+SEM_NONE, SEM_ROAD, SEM_SIDEWALK, SEM_LANE, SEM_VEHICLE, SEM_WALKER = 0, 1, 2, 3, 4, 5
+SEM_TERRAIN, SEM_POLE, SEM_TL_GREEN, SEM_TL_YELLOW, SEM_TL_RED = 6, 7, 8, 9, 10
+N_SEM_CLASSES = 11
+
+VEHICLE_HEIGHT = 1.6
+WALKER_HEIGHT = 1.8
+MAX_T = 1e6
+
+
+def ray_ground(origins, dirs):
+    """Rays vs z=0 plane. origins (..., 3), dirs (..., 3) -> t (...,)
+    (MAX_T when no forward hit)."""
+    dz = dirs[..., 2]
+    t = -origins[..., 2] / jnp.where(jnp.abs(dz) < 1e-9, -1e-9, dz)
+    return jnp.where((t > 0) & (dz < 0), t, MAX_T)
+
+
+def ray_boxes(origins, dirs, box_pose, box_active):
+    """Slab test against N upright boxes.
+
+    origins/dirs (R, 3); box_pose (N, 6) = x, y, yaw, ex, ey, height.
+    Returns (t_min (R,), idx (R,)) of the nearest hit (MAX_T / -1 if none).
+    """
+    pos = box_pose[:, :2]
+    yaw = box_pose[:, 2]
+    ext = box_pose[:, 3:5]
+    hgt = box_pose[:, 5]
+
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    # ray in box frame: rel (R, N, 2)
+    rel = origins[:, None, :2] - pos[None]
+    lx = rel[..., 0] * c[None] + rel[..., 1] * s[None]
+    ly = -rel[..., 0] * s[None] + rel[..., 1] * c[None]
+    dx = dirs[:, None, 0] * c[None] + dirs[:, None, 1] * s[None]
+    dy = -dirs[:, None, 0] * s[None] + dirs[:, None, 1] * c[None]
+    lz = origins[:, None, 2] - 0.0
+    dz = dirs[:, None, 2]
+
+    def slab(p, d, lo, hi):
+        d_safe = jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
+        t1 = (lo - p) / d_safe
+        t2 = (hi - p) / d_safe
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    tx1, tx2 = slab(lx, dx, -ext[None, :, 0], ext[None, :, 0])
+    ty1, ty2 = slab(ly, dy, -ext[None, :, 1], ext[None, :, 1])
+    tz1, tz2 = slab(lz, dz, jnp.zeros_like(hgt)[None], hgt[None])
+
+    t_near = jnp.maximum(jnp.maximum(tx1, ty1), tz1)
+    t_far = jnp.minimum(jnp.minimum(tx2, ty2), tz2)
+    hit = (t_near <= t_far) & (t_far > 0) & box_active[None]
+    t_hit = jnp.where(hit, jnp.maximum(t_near, 0.0), MAX_T)
+
+    t_min = jnp.min(t_hit, axis=1)
+    idx = jnp.argmin(t_hit, axis=1)
+    return t_min, jnp.where(t_min < MAX_T, idx, -1)
+
+
+def sample_ground_semantic(town: TownMap, pts_xy):
+    """Ground-plane semantics at world xy (..., 2) from the town rasters."""
+    px = town.world_to_pixel(pts_xy)
+    H, W = town.road.shape
+    xi = jnp.clip(px[..., 0].astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(px[..., 1].astype(jnp.int32), 0, H - 1)
+    road = town.road[yi, xi] > 0
+    side = town.sidewalk[yi, xi] > 0
+    lane = town.lane_all[yi, xi] > 0
+    return jnp.where(
+        lane & road,
+        SEM_LANE,
+        jnp.where(road, SEM_ROAD, jnp.where(side, SEM_SIDEWALK, SEM_TERRAIN)),
+    )
+
+
+def cast_scene(town: TownMap, origins, dirs, veh_pose, veh_active,
+               wlk_pose, wlk_active):
+    """Full scene intersection.
+
+    origins/dirs (R, 3) world frame; veh_pose (V, 6); wlk_pose (W, 6).
+    Returns dict: t (R,) depth along ray, semantic (R,) int32,
+    normal_shade (R,) in [0,1] for simple lambert shading.
+    """
+    t_g = ray_ground(origins, dirs)
+    t_v, _ = ray_boxes(origins, dirs, veh_pose, veh_active)
+    t_w, _ = ray_boxes(origins, dirs, wlk_pose, wlk_active)
+
+    t = jnp.minimum(jnp.minimum(t_g, t_v), t_w)
+    hit_v = t_v <= t
+    hit_w = (t_w <= t) & ~hit_v
+    hit_g = (t_g <= t) & ~hit_v & ~hit_w
+
+    ground_pts = origins[:, :2] + t_g[:, None] * dirs[:, :2]
+    g_sem = sample_ground_semantic(town, ground_pts)
+
+    sem = jnp.where(
+        hit_v,
+        SEM_VEHICLE,
+        jnp.where(hit_w, SEM_WALKER, jnp.where(hit_g, g_sem, SEM_NONE)),
+    )
+    # cheap shading: ground lit from above; boxes shaded by view angle
+    shade = jnp.where(
+        hit_g,
+        1.0,
+        jnp.clip(0.45 + 0.55 * jnp.abs(dirs[:, 2]) + 0.2 * jnp.abs(dirs[:, 0]), 0.0, 1.0),
+    )
+    return {"t": jnp.where(t < MAX_T, t, 0.0), "semantic": sem, "shade": shade,
+            "hit": t < MAX_T}
+
+
+def box_pose_from_state(pos, yaw, extent, height):
+    """(N,2),(N,),(N,2),scalar -> (N, 6) box pose array."""
+    n = pos.shape[0]
+    return jnp.concatenate(
+        [pos, yaw[:, None], extent, jnp.full((n, 1), height)], axis=-1
+    )

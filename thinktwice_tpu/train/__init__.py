@@ -1,0 +1,7 @@
+from thinktwice_tpu.train.train_step import (
+    TrainState,
+    create_train_state,
+    make_train_step,
+)
+
+__all__ = ["TrainState", "create_train_state", "make_train_step"]

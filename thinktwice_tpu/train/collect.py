@@ -1,0 +1,185 @@
+"""In-graph dataset collection: expert drives, sensors render, batches
+assemble — the whole reference data-collection fleet in one jit.
+
+Reference pipeline being replaced (SURVEY §3.2): N independent (CARLA server
++ roach_ap_agent_data_collection.py) process pairs dump PNG/npy/JSON per
+frame at 2 Hz; generate_metadata.py builds an index; CarlaDataset +
+pipelines re-load and re-augment them. Here `collect_batch` rolls the expert
+for n_frames macro-steps (10 ticks each), renders cameras + lidar at every
+saved frame, and `frames_to_batch` turns the trajectory into supervised
+training examples with future-frame targets (waypoints in the current ego
+frame ≡ offset_then_rotate, carla_dataset.py:115-203; future Roach actions
+≡ :154-176).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from thinktwice_tpu.agents.expert import Frame, _target_point, expert_control
+from thinktwice_tpu.config import Config
+from thinktwice_tpu.maps.town import TownMap
+from thinktwice_tpu.sensors.camera import cameras_from_state
+from thinktwice_tpu.sensors.lidar import lidar_from_state
+from thinktwice_tpu.sim.state import WorldState
+from thinktwice_tpu.sim.step import step_world
+
+IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
+IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
+
+
+def collect_batch(
+    cfg: Config,
+    roach_params,
+    town: TownMap,
+    state: WorldState,
+    n_frames: int,
+    ticks_per_frame: int = 10,
+    policy_every: int = 2,
+):
+    """-> (final_state, frames, sensors) where frames is a stacked Frame
+    pytree and sensors holds rgb/depth/semantic/lidar per frame."""
+
+    def macro(carry, _):
+        st, held = carry
+        ctrl_now, sup = expert_control(cfg, roach_params, town, st)
+        cams = cameras_from_state(cfg.camera, town, st)
+        pts, pts_mask = lidar_from_state(cfg.lidar, town, st)
+        frame = Frame(
+            pos=st.ego.pos,
+            yaw=st.ego.yaw,
+            speed=st.ego.speed,
+            control=ctrl_now,
+            target_point=_target_point(st),
+            route_completion=st.criteria.route_completion,
+            supervision=sup,
+        )
+        sensors = {
+            "rgb": cams["rgb"],
+            "depth": cams["depth"],
+            "semantic": cams["semantic"],
+            "lidar": pts,
+            "lidar_mask": pts_mask,
+        }
+
+        def tick(inner, k):
+            st_i, held_i = inner
+            recompute = (k % policy_every) == 0
+
+            def fresh():
+                c, _ = expert_control(cfg, roach_params, town, st_i)
+                return c
+
+            ctrl = jax.lax.cond(recompute, fresh, lambda: held_i)
+            st_o, _ = step_world(cfg, town, st_i, ctrl)
+            return (st_o, ctrl), None
+
+        (st, held), _ = jax.lax.scan(
+            tick, (st, ctrl_now), jnp.arange(ticks_per_frame)
+        )
+        return (st, held), (frame, sensors)
+
+    (final, _), (frames, sensors) = jax.lax.scan(
+        macro, (state, jnp.zeros(3)), None, length=n_frames
+    )
+    return final, frames, sensors
+
+
+def _rotate_into(yaw, vec):
+    c, s = jnp.cos(-yaw), jnp.sin(-yaw)
+    return jnp.stack(
+        [vec[..., 0] * c - vec[..., 1] * s, vec[..., 0] * s + vec[..., 1] * c],
+        axis=-1,
+    )
+
+
+def command_onehot(target_point):
+    """Coarse command from the ego-frame target point: 0 follow, 1 left,
+    2 right, 3 straight (one-hot over 6 like the reference's command vector,
+    carla_dataset get_data_info)."""
+    angle = jnp.arctan2(target_point[..., 1], target_point[..., 0])
+    cmd = jnp.where(
+        angle < -0.3, 1, jnp.where(angle > 0.3, 2, 0)
+    )
+    return jax.nn.one_hot(cmd, 6)
+
+
+def frames_to_batch(cfg: Config, frames: Frame, sensors: dict, pred_len: int = 4):
+    """Stacked frames (F, ...) -> model batch of F - pred_len examples.
+
+    Future targets are shifts of the same trajectory: example i uses frames
+    i+1..i+pred_len for GT waypoints (current-ego frame) and future Roach
+    actions — replacing the reference's 5-JSON-5-npy random reads per item
+    (carla_dataset.py:115-203) with pure slicing."""
+    F = frames.pos.shape[0]
+    n = F - pred_len
+    idx = jnp.arange(n)
+
+    pos, yaw = frames.pos, frames.yaw
+    gt_wp = []
+    for k in range(1, pred_len + 1):
+        rel = pos[idx + k] - pos[idx]
+        gt_wp.append(_rotate_into(yaw[idx], rel))
+    gt_wp = jnp.stack(gt_wp, axis=1)                       # (n, T, 2)
+
+    sup = frames.supervision
+    alpha, beta = sup["alpha"], sup["beta"]
+    # only_ap_brake override: alpha=0.8... reference maps mu=[0.8,...]? It
+    # overwrites action_mu/sigma with braking-prior values
+    # (carla_dataset.py:178-196: mu -> [0.8, 5.5]-style constants); we use a
+    # Beta strongly favoring brake: alpha=(1, 1), beta=(5.5, 1) on (acc, steer)
+    brake_alpha = jnp.asarray([1.0, 1.0])
+    brake_beta = jnp.asarray([5.5, 1.0])
+    oab = sup["only_ap_brake"][:, None]
+    alpha = jnp.where(oab, brake_alpha[None], alpha)
+    beta = jnp.where(oab, brake_beta[None], beta)
+
+    fut_a, fut_b = [], []
+    for k in range(1, pred_len):
+        fut_a.append(alpha[idx + k])
+        fut_b.append(beta[idx + k])
+
+    rgb = sensors["rgb"][idx]                              # (n, N, H, W, 3)
+    imgs = (rgb - IMAGENET_MEAN) / IMAGENET_STD
+    imgs = imgs[:, None]                                   # single sweep axis
+
+    batch = {
+        "imgs": imgs,
+        "points": sensors["lidar"][idx],
+        "points_mask": sensors["lidar_mask"][idx],
+        "speed": frames.speed[idx],
+        "target_point": frames.target_point[idx],
+        "command": command_onehot(frames.target_point[idx]),
+        "gt_waypoints": gt_wp,
+        "action_alpha": alpha[idx],
+        "action_beta": beta[idx],
+        "future_action_alpha": jnp.stack(fut_a, axis=1),
+        "future_action_beta": jnp.stack(fut_b, axis=1),
+        "gt_speed": frames.speed[idx],
+        "gt_value": sup["value"][idx],
+        "roach_features": sup["features"][idx],
+        "roach_cnn": tuple(
+            jnp.moveaxis(g[idx], 1, -1) for g in sup["cnn_features"]
+        ),  # NCHW -> NHWC
+        "gt_depth": sensors["depth"][idx].reshape(
+            -1, *sensors["depth"].shape[2:]
+        ),
+        "gt_seg": None,  # filled below at matched resolution
+        "teacher_wp": gt_wp,
+        # teacher ctrl over the pred horizon: current + the T-1 future actions
+        # (decoder teacher forcing, thinktwice_decoder.py:496-500)
+        "teacher_ctrl_sp": jnp.concatenate(
+            [
+                jnp.stack([alpha[idx], *fut_a], axis=1),
+                jnp.stack([beta[idx], *fut_b], axis=1),
+            ],
+            axis=-1,
+        ),
+    }
+    sem = sensors["semantic"][idx]                         # (n, N, H, W)
+    sem4 = sem[:, :, ::4, ::4]                             # match seg head res
+    batch["gt_seg"] = sem4.reshape(-1, *sem4.shape[2:])
+    return batch
