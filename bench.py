@@ -88,17 +88,18 @@ def main():
             )(states, ctrl)
         return states, None
 
+    n_macro = N_STEPS // POLICY_EVERY
+
     @jax.jit
-    def run(states, n_macro):
+    def run(states):
         return jax.lax.scan(macro_step, states, None, length=n_macro)[0]
 
-    n_macro = N_STEPS // POLICY_EVERY
     # warmup/compile
-    warm = run(states, 2 if False else n_macro)  # same shape => same program
+    warm = run(states)
     jax.block_until_ready(warm.tick)
 
     t0 = time.perf_counter()
-    out = run(states, n_macro)
+    out = run(states)
     jax.block_until_ready(out.tick)
     dt = time.perf_counter() - t0
 

@@ -3,7 +3,6 @@ TPU hardware (SURVEY.md §4's answer to 'multi-node without a cluster')."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
@@ -15,6 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import pytest  # noqa: E402
 import jax  # noqa: E402
+
+# The environment's TPU plugin overrides the JAX_PLATFORMS env var, so force
+# the CPU backend through the config API (before any backend initialization).
+jax.config.update("jax_platforms", "cpu")
 
 from thinktwice_tpu.config import Config, SimConfig  # noqa: E402
 from thinktwice_tpu.maps.procedural import make_grid_town  # noqa: E402

@@ -1,0 +1,85 @@
+"""Reference H5 town import (Town05) — skipped when the reference tree or its
+map assets are absent."""
+
+import os
+
+import numpy as np
+import pytest
+
+H5 = "/root/reference/roach/obs_manager/birdview/maps/Town05.h5"
+ROUTES = "/root/reference/leaderboard/data/routes_for_evaluation/routes_town05_long.xml"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(H5) and os.path.exists(ROUTES)),
+    reason="reference assets not mounted",
+)
+
+
+@pytest.fixture(scope="module")
+def town05():
+    from thinktwice_tpu.harness.route_parser import parse_routes_file
+    from thinktwice_tpu.maps.compile_h5 import compile_town
+
+    specs = parse_routes_file(ROUTES)
+    polylines = [s.dense(spacing=2.0) for s in specs[:3]]
+    return compile_town(H5, polylines), specs
+
+
+def test_rasters_and_attrs(town05):
+    town, _ = town05
+    assert town.road.shape[0] > 1000          # 3436/2 downsampled
+    assert float(town.pixels_per_meter) == 2.5
+    # some road pixels set
+    assert int(np.asarray(town.road).sum()) > 10000
+
+
+def test_lane_network_loops(town05):
+    town, _ = town05
+    valid = np.asarray(town.lane_valid)
+    nxt = np.asarray(town.lane_next)[valid]
+    assert valid.sum() > 500
+    # every successor is a valid index
+    assert (nxt < valid.sum()).all() and (nxt >= 0).all()
+
+
+def test_stoplines_extracted(town05):
+    town, _ = town05
+    n = int(np.asarray(town.tl_valid).sum())
+    assert n > 10  # Town05 has dozens of signalized stop lines
+    segs = np.asarray(town.tl_stopline)[np.asarray(town.tl_valid)]
+    lengths = np.linalg.norm(segs[:, 1] - segs[:, 0], axis=1)
+    assert (lengths > 1.0).all() and (lengths < 60.0).all()
+
+
+def test_route_on_road(town05):
+    """Dense route points should mostly lie on the H5 road raster."""
+    from thinktwice_tpu.sim.criteria import _sample_raster
+    import jax.numpy as jnp
+
+    town, specs = town05
+    dense = specs[0].dense(spacing=5.0)[:200]
+    on = np.asarray(
+        _sample_raster(town.road, town, jnp.asarray(dense[:, :2]))
+    )
+    assert (on > 0).mean() > 0.9
+
+
+def test_ego_spawn_and_step(town05):
+    """World steps on an imported town with the real route."""
+    import jax
+    import jax.numpy as jnp
+
+    from thinktwice_tpu.config import Config, SimConfig
+    from thinktwice_tpu.sim.reset import reset_world
+    from thinktwice_tpu.sim.step import step_world
+
+    town, specs = town05
+    cfg = Config(sim=SimConfig(max_vehicles=8, max_walkers=4,
+                               max_route_len=2048, max_scenarios=8))
+    route = jnp.asarray(specs[0].dense(spacing=1.0, max_len=2048))
+    st = reset_world(cfg, town, route, jax.random.key(0), n_vehicles=4)
+    step = jax.jit(step_world, static_argnums=0)
+    for _ in range(40):
+        st, _ = step(cfg, town, st, jnp.asarray([0.0, 1.0, 0.0]))
+    assert float(st.criteria.route_completion) > 0.0
+    assert not bool(st.criteria.done)

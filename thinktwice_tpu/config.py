@@ -138,6 +138,7 @@ class ModelConfig:
     n_z_anchors: int = 15            # z-levels for look-module 3D anchors
     img_height: int = 256
     img_width: int = 512
+    lidar_pillar_grid: int = 336     # dense pillar grid edge (models/lidarnet)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,122 @@
+"""Closed-loop route evaluator: the leaderboard driver as batched rollouts.
+
+Replaces LeaderboardEvaluator.run
+(leaderboard/leaderboard/leaderboard_evaluator.py:440-476): instead of a
+serial per-route loop around an out-of-process simulator, routes are grouped
+into vmapped world batches, each batch runs one jit'd closed-loop scan, and
+per-route CriteriaState snapshots feed the same statistics pipeline /
+results-JSON schema. Route-level resume mirrors `--resume` (route indices
+already in the results file are skipped)."""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thinktwice_tpu.config import Config
+from thinktwice_tpu.harness.statistics import (
+    PENALTY_STOP,
+    RouteResult,
+    compute_global_statistics,
+    compute_route_statistics,
+    resume_done_indices,
+    save_results,
+)
+from thinktwice_tpu.maps.town import TownMap
+from thinktwice_tpu.sim.reset import reset_world
+from thinktwice_tpu.sim.state import WorldState
+from thinktwice_tpu.sim.step import step_world
+
+
+def evaluate_routes(
+    cfg: Config,
+    town: TownMap,
+    routes: Sequence[np.ndarray],       # each (R, 3) dense (x, y, yaw)
+    route_ids: Sequence[str],
+    policy_fn: Callable,                # (cfg, town, state) -> (3,) control
+    n_vehicles: int = 0,
+    max_steps: int | None = None,
+    worlds_per_batch: int = 8,
+    out_path: str | None = None,
+    resume: bool = False,
+    stop_penalty: float = PENALTY_STOP,
+    seed: int = 0,
+) -> dict:
+    """Run every route closed-loop; returns the global statistics record."""
+    R = cfg.sim.max_route_len
+    done = resume_done_indices(out_path) if (resume and out_path) else set()
+
+    padded = []
+    for r in routes:
+        r = np.asarray(r, np.float32)
+        if len(r) >= R:
+            r = r[:R]
+        else:
+            r = np.concatenate([r, np.repeat(r[-1:], R - len(r), axis=0)])
+        padded.append(r)
+
+    def run_batch(routes_b, keys_b, n_steps):
+        def one(route, key):
+            st = reset_world(cfg, town, route, key, n_vehicles=n_vehicles)
+
+            def body(carry, _):
+                s = carry
+                ctrl = policy_fn(cfg, town, s)
+                s2, _ = step_world(cfg, town, s, ctrl)
+                return s2, None
+
+            final, _ = jax.lax.scan(body, st, None, length=n_steps)
+            return final
+
+        return jax.vmap(one)(routes_b, keys_b)
+
+    run_batch_j = jax.jit(run_batch, static_argnums=2)
+
+    records = []
+    todo = [i for i in range(len(padded)) if i not in done]
+    rng = jax.random.key(seed)
+    for start in range(0, len(todo), worlds_per_batch):
+        chunk = todo[start : start + worlds_per_batch]
+        # pad the final chunk to the batch size so the jit program is reused
+        pad_to = worlds_per_batch
+        idxs = chunk + [chunk[-1]] * (pad_to - len(chunk))
+        routes_b = jnp.asarray(np.stack([padded[i] for i in idxs]))
+        rng, sub = jax.random.split(rng)
+        keys_b = jax.random.split(sub, pad_to)
+
+        lengths = [
+            float(np.linalg.norm(np.diff(padded[i][:, :2], axis=0), axis=1).sum())
+            for i in idxs
+        ]
+        if max_steps is None:
+            # route timeout bound (0.8 s/m + 5 s at 20 Hz)
+            n_steps = int(
+                (cfg.sim.timeout_per_meter * max(lengths) + cfg.sim.timeout_base)
+                / cfg.sim.dt
+            ) + 10
+        else:
+            n_steps = max_steps
+
+        t0 = time.time()
+        final = run_batch_j(routes_b, keys_b, n_steps)
+        jax.block_until_ready(final.tick)
+        wall = time.time() - t0
+
+        crit_host = jax.device_get(final.criteria)
+        for j, i in enumerate(chunk):
+            crit_j = jax.tree.map(lambda x: x[j], crit_host)
+            rr = RouteResult.from_criteria(
+                route_ids[i], i, crit_j, lengths[j],
+                duration_game_s=n_steps * cfg.sim.dt,
+                duration_system_s=wall / len(chunk),
+            )
+            records.append(compute_route_statistics(rr, stop_penalty))
+
+    g = compute_global_statistics(records, total_routes=len(routes))
+    if out_path:
+        save_results(out_path, records, g)
+    return g

@@ -1,0 +1,195 @@
+"""Compile CARLA towns from the reference's pre-baked assets into TownMap.
+
+Inputs (all data the reference ships or generates, SURVEY §2.4 R2 / §2.9 X4):
+- the per-town H5 rasters (roach/obs_manager/birdview/maps/TownXX.h5:
+  road / lane_marking_* / sidewalk / stopline layers + world_offset and
+  pixels_per_meter attrs, loaded the same way ObsManager does,
+  chauffeurnet.py:64-73),
+- the town's route XMLs (leaderboard/data/*), whose posed keypoints densify
+  into lane-following polylines (maps/town.interpolate_route).
+
+What the reference gets live from the CARLA server and we must reconstruct
+offline:
+- the drivable lane network for NPC traffic -> union of densified route
+  polylines, chained with successor pointers (each route loops),
+- traffic-light stop lines -> connected components of the H5 `stopline`
+  raster, fit to segments by PCA (TrafficLightHandler builds the same
+  stop-line table from trigger volumes, roach/utils/traffic_light.py:81-199);
+  lights cluster into junction groups by proximity, with phase slots split by
+  approach heading parity,
+- road/lane segment geometry for the fast BEV raster -> thick segments along
+  the route polylines (approximation: exact near the ego's driving corridor,
+  which is what the 38 m birdview window sees; the full-fidelity rasters stay
+  available for point queries).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+import jax.numpy as jnp
+
+from thinktwice_tpu.maps.town import TownMap, densify_polyline, pad_rows
+
+ROAD_HALF_W = 7.0     # CARLA two-way roads are ~4 lanes in towns; BEV-visual
+LANE_MARK_HALF_W = 0.25
+
+
+def _stopline_segments(stop_raster: np.ndarray, offset, ppm,
+                       min_pixels: int = 12, max_segments: int = 256):
+    """Connected components of the stopline raster -> (N, 2, 2) world segs."""
+    from scipy import ndimage  # available via jax deps; gate if missing
+
+    labels, n = ndimage.label(stop_raster > 0)
+    segs = []
+    for i in range(1, n + 1):
+        ys, xs = np.nonzero(labels == i)
+        if len(xs) < min_pixels:
+            continue
+        pts = np.stack([xs, ys], axis=1).astype(np.float64)
+        mean = pts.mean(0)
+        u, s, vt = np.linalg.svd(pts - mean, full_matrices=False)
+        direction = vt[0]
+        proj = (pts - mean) @ direction
+        a = mean + direction * proj.min()
+        b = mean + direction * proj.max()
+        segs.append(np.stack([a, b]) / ppm + offset)
+        if len(segs) >= max_segments:
+            break
+    return np.asarray(segs, np.float32).reshape(-1, 2, 2)
+
+
+def _cluster_groups(centers: np.ndarray, radius: float = 35.0):
+    """Greedy proximity clustering -> group id per center."""
+    groups = -np.ones(len(centers), int)
+    gid = 0
+    for i in range(len(centers)):
+        if groups[i] >= 0:
+            continue
+        d = np.linalg.norm(centers - centers[i], axis=1)
+        groups[(d < radius) & (groups < 0)] = gid
+        gid += 1
+    return groups
+
+
+def compile_town(
+    h5_path: str,
+    route_polylines: list[np.ndarray],
+    max_lane_pts: int = 16384,
+    max_lights: int = 256,
+    max_stops: int = 32,
+    max_spawn: int = 1024,
+    max_road_segs: int = 2048,
+    max_lane_segs: int = 2048,
+    raster_downsample: int = 2,
+) -> TownMap:
+    """route_polylines: list of (K, >=2) world-frame polylines (dense routes
+    from harness.route_parser, or any lane-graph export)."""
+    assert h5py is not None, "h5py required to import reference town maps"
+    with h5py.File(h5_path, "r") as hf:
+        road = np.asarray(hf["road"], np.uint8)
+        lane_all = np.asarray(hf["lane_marking_all"], np.uint8)
+        lane_broken = np.asarray(hf["lane_marking_white_broken"], np.uint8)
+        sidewalk = np.asarray(hf["sidewalk"], np.uint8)
+        stopline = np.asarray(hf["stopline"], np.uint8)
+        offset = np.asarray(hf.attrs["world_offset_in_meters"], np.float32)
+        ppm = float(hf.attrs["pixels_per_meter"])
+
+    ds = raster_downsample
+    if ds > 1:
+        road = road[::ds, ::ds]
+        lane_all = lane_all[::ds, ::ds]
+        lane_broken = lane_broken[::ds, ::ds]
+        sidewalk = sidewalk[::ds, ::ds]
+
+    # --- lane network from route polylines --------------------------------
+    lane_pts, lane_yaw, lane_next = [], [], []
+    road_segs, lane_segs = [], []
+    for poly in route_polylines:
+        dense = densify_polyline(np.asarray(poly)[:, :2], spacing=2.0)
+        start = len(lane_pts)
+        for k in range(len(dense)):
+            d = dense[min(k + 1, len(dense) - 1)] - dense[max(k - 1, 0)]
+            lane_pts.append(dense[k])
+            lane_yaw.append(np.arctan2(d[1], d[0]))
+            lane_next.append(len(lane_pts))
+        lane_next[-1] = start  # loop each route
+        # thick road segments every ~10 m along the polyline
+        coarse = densify_polyline(np.asarray(poly)[:, :2], spacing=10.0)
+        for k in range(len(coarse) - 1):
+            a, b = coarse[k], coarse[k + 1]
+            road_segs.append((a[0], a[1], b[0], b[1], ROAD_HALF_W))
+            lane_segs.append((a[0], a[1], b[0], b[1], LANE_MARK_HALF_W, 1.0))
+
+    lane_pts = np.asarray(lane_pts, np.float32).reshape(-1, 2)
+    lane_yaw = np.asarray(lane_yaw, np.float32)
+    lane_next = np.asarray(lane_next, np.int32)
+    road_segs = np.asarray(road_segs, np.float32).reshape(-1, 5)
+    lane_segs = np.asarray(lane_segs, np.float32).reshape(-1, 6)
+
+    # --- traffic lights from the stopline raster --------------------------
+    tl_stopline = _stopline_segments(stopline, offset, ppm,
+                                     max_segments=max_lights)
+    n_tl = len(tl_stopline)
+    centers = tl_stopline.mean(axis=1) if n_tl else np.zeros((0, 2))
+    groups = _cluster_groups(centers) if n_tl else np.zeros((0,), int)
+    tl_pos, tl_yaw, tl_slot, tl_nslots = [], [], [], []
+    for i in range(n_tl):
+        seg = tl_stopline[i]
+        d = seg[1] - seg[0]
+        # approach heading is perpendicular to the stop line
+        yaw = np.arctan2(d[1], d[0]) + np.pi / 2
+        tl_pos.append(centers[i])
+        tl_yaw.append(yaw)
+        # EW-ish approaches share slot 0, NS-ish slot 1
+        tl_slot.append(0 if abs(np.sin(yaw)) < 0.5 else 1)
+        tl_nslots.append(2)
+    tl_pos = np.asarray(tl_pos, np.float32).reshape(-1, 2)
+    tl_yaw = np.asarray(tl_yaw, np.float32)
+    tl_slot = np.asarray(tl_slot, np.int32)
+    tl_nslots = np.asarray(tl_nslots, np.int32)
+
+    # --- spawn points along lanes -----------------------------------------
+    sp = []
+    for i in range(0, len(lane_pts), 10):
+        sp.append((lane_pts[i, 0], lane_pts[i, 1], lane_yaw[i]))
+    spawn = np.asarray(sp, np.float32).reshape(-1, 3)
+
+    def j(a):
+        return jnp.asarray(a)
+
+    return TownMap(
+        road=j(road),
+        lane_all=j(lane_all),
+        lane_broken=j(lane_broken),
+        sidewalk=j(sidewalk),
+        world_offset=j(offset),
+        pixels_per_meter=j(np.float32(ppm / ds)),
+        lane_pts=j(pad_rows(lane_pts, max_lane_pts)),
+        lane_yaw=j(pad_rows(lane_yaw, max_lane_pts)),
+        lane_next=j(pad_rows(lane_next, max_lane_pts).astype(np.int32)),
+        lane_valid=j(pad_rows(np.ones(len(lane_pts), bool), max_lane_pts).astype(bool)),
+        road_segs=j(pad_rows(road_segs, max_road_segs)),
+        road_seg_valid=j(pad_rows(np.ones(len(road_segs), bool), max_road_segs).astype(bool)),
+        lane_segs=j(pad_rows(lane_segs, max_lane_segs)),
+        lane_seg_valid=j(pad_rows(np.ones(len(lane_segs), bool), max_lane_segs).astype(bool)),
+        tl_pos=j(pad_rows(tl_pos, max_lights)),
+        tl_yaw=j(pad_rows(tl_yaw, max_lights)),
+        tl_stopline=j(
+            pad_rows(tl_stopline.reshape(-1, 4), max_lights).reshape(max_lights, 2, 2)
+        ),
+        tl_group=j(pad_rows(groups.astype(np.int32), max_lights).astype(np.int32)),
+        tl_slot=j(pad_rows(tl_slot, max_lights).astype(np.int32)),
+        tl_nslots=j(pad_rows(tl_nslots, max_lights, fill=1).astype(np.int32)),
+        tl_valid=j(pad_rows(np.ones(n_tl, bool), max_lights).astype(bool)),
+        stop_pos=j(np.zeros((max_stops, 2), np.float32)),
+        stop_yaw=j(np.zeros((max_stops,), np.float32)),
+        stop_valid=j(np.zeros((max_stops,), bool)),
+        spawn=j(pad_rows(spawn, max_spawn)),
+        spawn_valid=j(pad_rows(np.ones(len(spawn), bool), max_spawn).astype(bool)),
+    )

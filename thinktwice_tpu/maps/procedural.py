@@ -68,6 +68,8 @@ def make_grid_town(
     max_lights: int = 64,
     max_stops: int = 32,
     max_spawn: int = 256,
+    max_road_segs: int = 32,
+    max_lane_segs: int = 32,
     signalized: bool = True,
 ) -> TownMap:
     """Build an (n_blocks x n_blocks)-block grid town.
@@ -103,6 +105,16 @@ def make_grid_town(
         _draw_box(sidewalk, offset, np.array([-10.0, g + ROAD_HALF_W + 0.2]),
                   np.array([extent + 10.0, g + ROAD_HALF_W + 1.0]), 0.0)
     lane_all = np.maximum(lane_all, lane_broken)
+
+    # analytic thick-segment geometry for the BEV rasterizer
+    road_segs, lane_segs = [], []
+    for g in grid:
+        road_segs.append((-10.0, g, extent + 10.0, g, ROAD_HALF_W))
+        road_segs.append((g, -10.0, g, extent + 10.0, ROAD_HALF_W))
+        lane_segs.append((0.0, g, extent, g, 0.25, 1.0))  # broken centerline
+        lane_segs.append((g, 0.0, g, extent, 0.25, 1.0))
+    road_segs = np.asarray(road_segs, np.float32)
+    lane_segs = np.asarray(lane_segs, np.float32)
 
     # --- lane loops -------------------------------------------------------
     half = LANE_W / 2.0
@@ -226,4 +238,8 @@ def make_grid_town(
         stop_valid=j(np.zeros((max_stops,), bool)),
         spawn=j(pad_rows(spawn, max_spawn)),
         spawn_valid=j(pad_rows(np.ones(n_spawn, bool), max_spawn).astype(bool)),
+        road_segs=j(pad_rows(road_segs, max_road_segs)),
+        road_seg_valid=j(pad_rows(np.ones(len(road_segs), bool), max_road_segs).astype(bool)),
+        lane_segs=j(pad_rows(lane_segs, max_lane_segs)),
+        lane_seg_valid=j(pad_rows(np.ones(len(lane_segs), bool), max_lane_segs).astype(bool)),
     )

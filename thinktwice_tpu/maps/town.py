@@ -40,6 +40,18 @@ class TownMap:
     lane_next: jax.Array       # (L,)  i32 successor waypoint index
     lane_valid: jax.Array      # (L,)  bool
 
+    # --- analytic road geometry (thick segments) --------------------------
+    # The BEV rasterizer draws static layers from these instead of gathering
+    # from the big rasters: on TPU a 28M-point gather from a 1232^2 table
+    # costs ~240 ms/64 worlds while the equivalent distance-to-segment masks
+    # cost ~10 ms (measured; see sensors/birdview.py). Rasters are kept for
+    # point queries (criteria, ground semantics) where only a handful of
+    # gathers happen per step.
+    road_segs: jax.Array       # (RS, 5) x1, y1, x2, y2, half_width
+    road_seg_valid: jax.Array  # (RS,) bool
+    lane_segs: jax.Array       # (LS, 6) x1, y1, x2, y2, half_width, broken(0/1)
+    lane_seg_valid: jax.Array  # (LS,) bool
+
     # --- traffic lights ---
     tl_pos: jax.Array          # (NL, 2) f32 stop point (on approach lane)
     tl_yaw: jax.Array          # (NL,)  f32 approach heading

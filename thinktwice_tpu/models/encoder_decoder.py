@@ -76,8 +76,9 @@ class ThinkTwiceModel(nn.Module):
         measurement = MLP([128, 128], final_act=True, name="measurements_encoder")(state)
 
         # fusion (get_fusion_feat:213-235)
-        h = ConvGN(256)(cam_bev)
-        h = ConvGN(256, act=False)(h)
+        C = m.bev_channels
+        h = ConvGN(C)(cam_bev)
+        h = ConvGN(C, act=False)(h)
         cam_red = nn.relu(h + cam_bev)
 
         lidar_hr = None
@@ -85,10 +86,10 @@ class ThinkTwiceModel(nn.Module):
             lid = LidarNet(m, name="lidar_encoder")(points, points_mask)
             lid = bev_to_bird(lid)                             # (B, 84, 84, 512)
             lidar_hr = lid
-            p = ConvGN(256, stride=2)(lid)                     # 42
-            pts_red = ConvGN(256, stride=2)(p)                 # 21
-            f = ConvGN(256, act=False)(
-                ConvGN(256)(jnp.concatenate([cam_red, pts_red], axis=-1))
+            p = ConvGN(C, stride=2)(lid)                       # 42
+            pts_red = ConvGN(C, stride=2)(p)                   # 21
+            f = ConvGN(C, act=False)(
+                ConvGN(C)(jnp.concatenate([cam_red, pts_red], axis=-1))
             )
             bev_feats = nn.relu(f + cam_red + pts_red)
         else:

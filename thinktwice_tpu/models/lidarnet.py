@@ -28,14 +28,14 @@ import jax.numpy as jnp
 from thinktwice_tpu.config import ModelConfig
 from thinktwice_tpu.models.layers import ConvGN
 
-PILLAR_GRID = 336          # input pillar grid (336x336 over 38.4 m -> 0.114 m)
 POINT_FEATS = 5            # x, y, z, intensity, dt
 
 
-def pillarize(points, mask, cfg: ModelConfig, grid: int = PILLAR_GRID):
+def pillarize(points, mask, cfg: ModelConfig, grid: int | None = None):
     """points (P, 5) in ego frame, mask (P,) valid -> (grid, grid, 8) mean
     pillar features (HardSimpleVFE semantics: mean of raw features; plus
     count and mean offsets for a richer but still param-free encoding)."""
+    grid = grid or cfg.lidar_pillar_grid
     cell_x = (cfg.bev_x_max - cfg.bev_x_min) / grid
     cell_y = (cfg.bev_y_max - cfg.bev_y_min) / grid
     xi = jnp.floor((points[:, 0] - cfg.bev_x_min) / cell_x).astype(jnp.int32)
@@ -64,21 +64,29 @@ class LidarNet(nn.Module):
     def __call__(self, points, mask):
         pillars = jax.vmap(lambda p, m: pillarize(p, m, self.cfg))(points, mask)
 
-        x = ConvGN(32)(pillars)            # 336
-        x = ConvGN(64, stride=2)(x)        # 168
+        x = ConvGN(32)(pillars)            # grid (336 default)
+        x = ConvGN(64, stride=2)(x)        # grid/2
         x = ConvGN(64)(x)
-        x = ConvGN(128, stride=2)(x)       # 84
+        x = ConvGN(128, stride=2)(x)       # grid/4 (84 default)
         # SECOND-style blocks at stride 1 and 2
         a = x
         for _ in range(3):
             a = ConvGN(128)(a)
-        b = ConvGN(256, stride=2)(a)       # 42
+        b = ConvGN(256, stride=2)(a)       # grid/8
         for _ in range(3):
             b = ConvGN(256)(b)
-        # SECONDFPN: upsample b to 84, concat -> 512 channels
+        # SECONDFPN: upsample b, concat -> 512 channels
         b_up = jax.image.resize(
             b, (b.shape[0], a.shape[1], a.shape[2], b.shape[-1]), "nearest"
         )
         b_up = ConvGN(256, kernel=1)(b_up)
         a = ConvGN(256, kernel=1)(a)
-        return jnp.concatenate([a, b_up], axis=-1)   # (B, 84, 84, 512)
+        out = jnp.concatenate([a, b_up], axis=-1)    # (B, grid/4, grid/4, 512)
+        # the fusion convs expect the high-res lidar BEV at 4x the model BEV
+        # grid (84 for 21; encoder_decoder conv_lidar downsamples 84->42->21)
+        hr = 4 * self.cfg.bev_size
+        if out.shape[1] != hr:
+            out = jax.image.resize(
+                out, (out.shape[0], hr, hr, out.shape[-1]), "nearest"
+            )
+        return out

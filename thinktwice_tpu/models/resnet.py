@@ -47,6 +47,7 @@ class Bottleneck(nn.Module):
 
 
 RESNET_SPECS = {
+    10: (BasicBlock, (1, 1, 1, 1), (32, 64, 128, 256)),   # tiny (dry runs)
     18: (BasicBlock, (2, 2, 2, 2), (64, 128, 256, 512)),
     34: (BasicBlock, (3, 4, 6, 3), (64, 128, 256, 512)),
     50: (Bottleneck, (3, 4, 6, 3), (256, 512, 1024, 2048)),

@@ -95,14 +95,16 @@ def _boxes_mask(pts, pose, active, min_extent=0.0):
 
 
 def _segments_mask(pts, seg_a, seg_b, valid, half_width):
-    """Coverage of thick segments. pts (P, 2); seg_a/b (N, 2) -> (P,) bool."""
+    """Coverage of thick segments. pts (P, 2); seg_a/b (N, 2); half_width
+    scalar or (N,) -> (P,) bool."""
     ab = seg_b - seg_a                                       # (N, 2)
     denom = jnp.maximum(jnp.sum(ab * ab, -1), 1e-9)          # (N,)
     rel = pts[None, :, :] - seg_a[:, None, :]                # (N, P, 2)
     t = jnp.clip(jnp.einsum("npc,nc->np", rel, ab) / denom[:, None], 0.0, 1.0)
     proj = seg_a[:, None, :] + t[..., None] * ab[:, None, :]
     d = jnp.linalg.norm(pts[None] - proj, axis=-1)           # (N, P)
-    return jnp.any((d <= half_width) & valid[:, None], axis=0)
+    hw = jnp.broadcast_to(jnp.asarray(half_width), (seg_a.shape[0],))
+    return jnp.any((d <= hw[:, None]) & valid[:, None], axis=0)
 
 
 def _history_slot(hist: HistoryState, idx: int):
@@ -128,12 +130,33 @@ def render_birdview(
     pts2d = _pixel_world_coords(cfg, ego_pos, ego_yaw)       # (W, W, 2)
     pts = pts2d.reshape(-1, 2)                               # (P, 2)
 
-    # static channels
-    c_road = _sample_map(town.road, town, pts2d)
-    lane_all = _sample_map(town.lane_all, town, pts2d)
-    lane_broken = _sample_map(town.lane_broken, town, pts2d)
+    # static channels from the analytic segment geometry (TownMap.road_segs /
+    # lane_segs). Rationale: gathering 3 rasters x 4 bilinear taps for every
+    # BEV pixel costs ~240 ms per 64-world batch on TPU (gathers from a
+    # megapixel table don't vectorize), while distance-to-segment coverage of
+    # the same layers costs ~1 ms of pure VPU math.
+    road_valid = town.road_seg_valid
+    c_road = (
+        _segments_mask(
+            pts, town.road_segs[:, 0:2], town.road_segs[:, 2:4],
+            road_valid, town.road_segs[:, 4],
+        )
+        .reshape(W, W)
+        .astype(jnp.float32)
+    )
+    lane_v = town.lane_seg_valid
+    lane_solid = _segments_mask(
+        pts, town.lane_segs[:, 0:2], town.lane_segs[:, 2:4],
+        lane_v & (town.lane_segs[:, 5] < 0.5), town.lane_segs[:, 4],
+    )
+    lane_broken = _segments_mask(
+        pts, town.lane_segs[:, 0:2], town.lane_segs[:, 2:4],
+        lane_v & (town.lane_segs[:, 5] >= 0.5), town.lane_segs[:, 4],
+    )
     # broken-white segments render at 120/255 (chauffeurnet.py:171-173)
-    c_lane = jnp.where(lane_broken > 0.5, LANE_BROKEN_VALUE, lane_all)
+    c_lane = jnp.where(
+        lane_broken, LANE_BROKEN_VALUE, lane_solid.astype(jnp.float32)
+    ).reshape(W, W)
 
     # route channel: thick polyline over the next n_route_points waypoints
     seg_a = route_window[:-1]

@@ -109,9 +109,10 @@ def cast_scene(town: TownMap, origins, dirs, veh_pose, veh_active,
     t_w, _ = ray_boxes(origins, dirs, wlk_pose, wlk_active)
 
     t = jnp.minimum(jnp.minimum(t_g, t_v), t_w)
-    hit_v = t_v <= t
-    hit_w = (t_w <= t) & ~hit_v
-    hit_g = (t_g <= t) & ~hit_v & ~hit_w
+    any_hit = t < MAX_T
+    hit_v = any_hit & (t_v <= t)
+    hit_w = any_hit & (t_w <= t) & ~hit_v
+    hit_g = any_hit & (t_g <= t) & ~hit_v & ~hit_w
 
     ground_pts = origins[:, :2] + t_g[:, None] * dirs[:, :2]
     g_sem = sample_ground_semantic(town, ground_pts)

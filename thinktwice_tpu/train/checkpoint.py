@@ -1,0 +1,71 @@
+"""Checkpoint / resume via orbax.
+
+Covers the reference's checkpoint surface (SURVEY §5.4):
+- training: per-interval param+opt-state snapshots with resume
+  (mmcv checkpoint_config interval=1; train.py --resume-from),
+- eval/collect: the route-progress ledger lives in the results JSON
+  (harness.statistics.resume_done_indices),
+- rollout state: the full (rng, world_state, route index) pytree can be
+  saved/restored for mid-run resume — cheap because WorldState is already a
+  pytree of arrays.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+from thinktwice_tpu.train.train_step import TrainState
+
+
+def _manager(ckpt_dir: str, max_to_keep: int = 5) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(ckpt_dir),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+    )
+
+
+def save_train_state(ckpt_dir: str, state: TrainState, step: int | None = None):
+    mgr = _manager(ckpt_dir)
+    step = int(state.step) if step is None else step
+    mgr.save(step, args=ocp.args.StandardSave(
+        {"step": state.step, "params": state.params, "opt_state": state.opt_state}
+    ))
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def restore_train_state(ckpt_dir: str, template: TrainState) -> TrainState:
+    """Restore the latest snapshot into the shape of `template`."""
+    mgr = _manager(ckpt_dir)
+    step = mgr.latest_step()
+    if step is None:
+        mgr.close()
+        raise FileNotFoundError(f"no checkpoint in {ckpt_dir}")
+    restored = mgr.restore(
+        step,
+        args=ocp.args.StandardRestore(
+            {"step": template.step, "params": template.params,
+             "opt_state": template.opt_state}
+        ),
+    )
+    mgr.close()
+    return TrainState(
+        step=restored["step"],
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+    )
+
+
+def save_pytree(path: str, tree: Any):
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), tree)
+    ckptr.wait_until_finished()
+
+
+def restore_pytree(path: str, template: Any) -> Any:
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), template)
