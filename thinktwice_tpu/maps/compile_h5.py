@@ -42,7 +42,9 @@ LANE_MARK_HALF_W = 0.25
 
 def _stopline_segments(stop_raster: np.ndarray, offset, ppm,
                        min_pixels: int = 12, max_segments: int = 256):
-    """Connected components of the stopline raster -> (N, 2, 2) world segs."""
+    """Connected components of the stopline raster -> (N, 2, 2) world segs.
+    (Some reference H5s ship an empty stopline layer — Town05's is all-zero —
+    in which case junction detection from route crossings takes over.)"""
     from scipy import ndimage  # available via jax deps; gate if missing
 
     labels, n = ndimage.label(stop_raster > 0)
@@ -62,6 +64,111 @@ def _stopline_segments(stop_raster: np.ndarray, offset, ppm,
         if len(segs) >= max_segments:
             break
     return np.asarray(segs, np.float32).reshape(-1, 2, 2)
+
+
+def _junction_stoplines(
+    polylines: list[np.ndarray],
+    setback: float = 10.0,
+    lane_half_w: float = 3.5,
+    cross_angle_min: float = np.deg2rad(40.0),
+    junction_radius: float = 25.0,
+    max_segments: int = 256,
+):
+    """Derive per-approach stop lines from crossings between route polylines.
+
+    The reference reads signalized stop lines from the live CARLA map
+    (TrafficLightHandler); offline we approximate: wherever two route
+    polylines cross at a large angle there is a junction; each polyline
+    passing near a junction center gets a stop line across its lane
+    `setback` meters before the center. Every detected junction is treated
+    as signalized — a documented approximation (Town05's H5 stopline layer is
+    empty, so there is no in-repo ground truth to distinguish)."""
+    dense = [densify_polyline(np.asarray(p)[:, :2], spacing=4.0) for p in polylines]
+
+    # 1. find crossing points between (and within — routes are long loops
+    # that cross themselves) polylines
+    crossings = []
+    for i in range(len(dense)):
+        for j_ in range(i, len(dense)):
+            a, b = dense[i], dense[j_]
+            # coarse proximity: points of a close to points of b
+            d = np.linalg.norm(a[:, None, :] - b[None, :, :], axis=-1)
+            if i == j_:
+                # ignore the trivial near-diagonal (same stretch of road)
+                n_ = len(a)
+                ii = np.abs(np.arange(n_)[:, None] - np.arange(n_)[None, :])
+                d = np.where(ii < 10, np.inf, d)
+            ia, ib = np.nonzero(d < 3.0)
+            for k in range(0, len(ia), 4):
+                pa, pb = ia[k], ib[k]
+                ta = a[min(pa + 1, len(a) - 1)] - a[max(pa - 1, 0)]
+                tb = b[min(pb + 1, len(b) - 1)] - b[max(pb - 1, 0)]
+                ang = abs(
+                    np.arctan2(
+                        ta[0] * tb[1] - ta[1] * tb[0], ta[0] * tb[0] + ta[1] * tb[1]
+                    )
+                )
+                ang = min(ang, np.pi - ang)
+                if ang > cross_angle_min:
+                    crossings.append(0.5 * (a[pa] + b[pb]))
+
+    # turns through an intersection: heading change > cross_angle_min within
+    # ~20 m marks a junction even when no other route crosses there
+    for a in dense:
+        if len(a) < 7:
+            continue
+        t = a[2:] - a[:-2]
+        hdg = np.arctan2(t[:, 1], t[:, 0])
+        k = 5  # 20 m at 4 m spacing
+        dh = np.abs(np.arctan2(np.sin(hdg[k:] - hdg[:-k]), np.cos(hdg[k:] - hdg[:-k])))
+        idxs = np.nonzero(dh > cross_angle_min)[0]
+        for i0 in idxs[::3]:
+            crossings.append(a[i0 + 1 + k // 2])
+
+    if not crossings:
+        return (np.zeros((0, 2, 2), np.float32), np.zeros((0, 2), np.float32),
+                np.zeros((0,), np.float32), np.zeros((0,), np.int32))
+
+    centers = np.asarray(crossings)
+    groups = _cluster_groups(centers, radius=junction_radius)
+    junctions = np.stack(
+        [centers[groups == g].mean(0) for g in range(groups.max() + 1)]
+    )
+
+    # 2. one stop line per (junction, approaching polyline direction)
+    segs, pos, yaws, grp = [], [], [], []
+    for gi, jc in enumerate(junctions):
+        seen_headings = []
+        for poly in dense:
+            d = np.linalg.norm(poly - jc[None], axis=1)
+            k = int(np.argmin(d))
+            if d[k] > 12.0:
+                continue
+            # walk back `setback` meters along the polyline
+            back = max(k - int(setback / 4.0), 0)
+            p = poly[back]
+            t = poly[min(back + 1, len(poly) - 1)] - poly[max(back - 1, 0)]
+            yaw = float(np.arctan2(t[1], t[0]))
+            # dedup approaches with similar heading at this junction
+            if any(abs(np.arctan2(np.sin(yaw - h), np.cos(yaw - h))) < 0.5
+                   for h in seen_headings):
+                continue
+            seen_headings.append(yaw)
+            nvec = np.asarray([-np.sin(yaw), np.cos(yaw)])
+            segs.append(np.stack([p - nvec * lane_half_w, p + nvec * lane_half_w]))
+            pos.append(p)
+            yaws.append(yaw)
+            grp.append(gi)
+            if len(segs) >= max_segments:
+                break
+        if len(segs) >= max_segments:
+            break
+    return (
+        np.asarray(segs, np.float32).reshape(-1, 2, 2),
+        np.asarray(pos, np.float32).reshape(-1, 2),
+        np.asarray(yaws, np.float32),
+        np.asarray(grp, np.int32),
+    )
 
 
 def _cluster_groups(centers: np.ndarray, radius: float = 35.0):
@@ -132,27 +239,32 @@ def compile_town(
     road_segs = np.asarray(road_segs, np.float32).reshape(-1, 5)
     lane_segs = np.asarray(lane_segs, np.float32).reshape(-1, 6)
 
-    # --- traffic lights from the stopline raster --------------------------
+    # --- traffic lights: stopline raster if present, else junction
+    # detection from route-polyline crossings ------------------------------
     tl_stopline = _stopline_segments(stopline, offset, ppm,
                                      max_segments=max_lights)
-    n_tl = len(tl_stopline)
-    centers = tl_stopline.mean(axis=1) if n_tl else np.zeros((0, 2))
-    groups = _cluster_groups(centers) if n_tl else np.zeros((0,), int)
-    tl_pos, tl_yaw, tl_slot, tl_nslots = [], [], [], []
-    for i in range(n_tl):
-        seg = tl_stopline[i]
-        d = seg[1] - seg[0]
-        # approach heading is perpendicular to the stop line
-        yaw = np.arctan2(d[1], d[0]) + np.pi / 2
-        tl_pos.append(centers[i])
-        tl_yaw.append(yaw)
-        # EW-ish approaches share slot 0, NS-ish slot 1
-        tl_slot.append(0 if abs(np.sin(yaw)) < 0.5 else 1)
-        tl_nslots.append(2)
-    tl_pos = np.asarray(tl_pos, np.float32).reshape(-1, 2)
-    tl_yaw = np.asarray(tl_yaw, np.float32)
-    tl_slot = np.asarray(tl_slot, np.int32)
-    tl_nslots = np.asarray(tl_nslots, np.int32)
+    if len(tl_stopline):
+        n_tl = len(tl_stopline)
+        centers = tl_stopline.mean(axis=1)
+        groups = _cluster_groups(centers)
+        tl_pos, tl_yaw = [], []
+        for i in range(n_tl):
+            d = tl_stopline[i][1] - tl_stopline[i][0]
+            # approach heading is perpendicular to the stop line
+            tl_pos.append(centers[i])
+            tl_yaw.append(np.arctan2(d[1], d[0]) + np.pi / 2)
+        tl_pos = np.asarray(tl_pos, np.float32).reshape(-1, 2)
+        tl_yaw = np.asarray(tl_yaw, np.float32)
+    else:
+        tl_stopline, tl_pos, tl_yaw, groups = _junction_stoplines(
+            route_polylines, max_segments=max_lights
+        )
+        n_tl = len(tl_stopline)
+    # EW-ish approaches share slot 0, NS-ish slot 1
+    tl_slot = np.asarray(
+        [0 if abs(np.sin(y)) < 0.5 else 1 for y in tl_yaw], np.int32
+    )
+    tl_nslots = np.full((n_tl,), 2, np.int32)
 
     # --- spawn points along lanes -----------------------------------------
     sp = []

@@ -76,12 +76,14 @@ def _sample_map(raster, town: TownMap, pts_world):
     return jnp.clip(v, 0.0, 1.0)
 
 
-def _boxes_mask(pts, pose, active, min_extent=0.0):
+def _boxes_mask(pts, pose, active, min_extent=0.0, scale=1.0):
     """Coverage of a set of OBBs. pts (P, 2); pose (N, 5) = x,y,yaw,ex,ey;
-    active (N,) -> (P,) bool."""
+    active (N,) -> (P,) bool. `scale`/`min_extent` mirror
+    _get_surrounding_actors' bbox scaling (vehicles x1, walkers x2, 0.8 m
+    floor when scale_bbox is on)."""
     pos = pose[:, :2]
     yaw = pose[:, 2]
-    ext = jnp.maximum(pose[:, 3:5], min_extent)
+    ext = jnp.maximum(pose[:, 3:5] * scale, min_extent)
     rel = pts[None, :, :] - pos[:, None, :]                  # (N, P, 2)
     c, s = jnp.cos(yaw), jnp.sin(yaw)
     lx = rel[..., 0] * c[:, None] + rel[..., 1] * s[:, None]
@@ -173,9 +175,10 @@ def render_birdview(
     for idx in cfg.history_idx:
         slot = _history_slot(hist, idx)
         veh = _boxes_mask(pts, hist.veh_pose[slot], hist.veh_active[slot],
-                          min_extent=0.8 if cfg.scale_bbox else 0.0)
+                          min_extent=0.8 if cfg.scale_bbox else 0.0, scale=1.0)
         wlk = _boxes_mask(pts, hist.wlk_pose[slot], hist.wlk_active[slot],
-                          min_extent=0.8 if cfg.scale_bbox else 0.0)
+                          min_extent=0.8 if cfg.scale_bbox else 0.0,
+                          scale=2.0 if cfg.scale_bbox else 1.0)
         veh_ch.append(veh.reshape(W, W).astype(jnp.float32))
         wlk_ch.append(wlk.reshape(W, W).astype(jnp.float32))
 
