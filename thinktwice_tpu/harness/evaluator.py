@@ -49,6 +49,11 @@ def evaluate_routes(
     """Run every route closed-loop; returns the global statistics record."""
     R = cfg.sim.max_route_len
     done = resume_done_indices(out_path) if (resume and out_path) else set()
+    records = []
+    if done and out_path:
+        from thinktwice_tpu.harness.statistics import load_results
+
+        records = load_results(out_path)["_checkpoint"]["records"]
 
     padded = []
     for r in routes:
@@ -76,7 +81,6 @@ def evaluate_routes(
 
     run_batch_j = jax.jit(run_batch, static_argnums=2)
 
-    records = []
     todo = [i for i in range(len(padded)) if i not in done]
     rng = jax.random.key(seed)
     for start in range(0, len(todo), worlds_per_batch):
