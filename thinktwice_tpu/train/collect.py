@@ -47,7 +47,11 @@ def collect_batch(
         st, held = carry
         ctrl_now, sup = expert_control(cfg, roach_params, town, st)
         cams = cameras_from_state(cfg.camera, town, st)
-        pts, pts_mask = lidar_from_state(cfg.lidar, town, st)
+        pts4, pts_mask = lidar_from_state(cfg.lidar, town, st)
+        # dt sweep channel (0 = current sweep; merge_sweeps sets 1 for history)
+        pts = jnp.concatenate(
+            [pts4, jnp.zeros((pts4.shape[0], 1))], axis=-1
+        )
         frame = Frame(
             pos=st.ego.pos,
             yaw=st.ego.yaw,

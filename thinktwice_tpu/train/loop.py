@@ -1,0 +1,155 @@
+"""Training driver: the mmcv EpochBasedRunner stack as a plain loop.
+
+Reference equivalent: code/apis/mmdet_train.py:28-201 (DDP model, AdamW,
+epoch runner with LR/ckpt/logger/eval hooks) fed by dataloader workers doing
+PNG decode + augmentation. Here the data either comes from the in-graph
+collector (expert drives, sensors render — no files at all) or from the
+reference on-disk dataset; the train step is the mesh-sharded jit from
+train_step.py; checkpoints via orbax; metrics to stdout/JSONL.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thinktwice_tpu.config import Config
+from thinktwice_tpu.maps.town import TownMap
+from thinktwice_tpu.models import rig as rig_lib
+from thinktwice_tpu.models.encoder_decoder import ThinkTwiceModel, total_loss
+from thinktwice_tpu.sim.reset import reset_world
+from thinktwice_tpu.train import checkpoint as ckpt_lib
+from thinktwice_tpu.train.collect import collect_batch, frames_to_batch
+from thinktwice_tpu.train.train_step import (
+    TrainState,
+    create_train_state,
+    make_train_step,
+)
+
+
+def make_model(cfg: Config, backbone_depth: int = 50, n_sweeps: int = 1):
+    return ThinkTwiceModel(
+        cfg.model, backbone_depth=backbone_depth, n_sweeps=n_sweeps,
+        use_lidar=True,
+    )
+
+
+def model_loss_fn(cfg: Config, model: ThinkTwiceModel):
+    c2e = jnp.asarray(rig_lib.cam_to_ego(cfg.camera))
+    K = jnp.asarray(rig_lib.intrinsics(cfg.camera))
+    e2i = jnp.asarray(rig_lib.ego_to_img(cfg.camera))
+
+    def loss_fn(params, batch):
+        outs = model.apply(
+            params,
+            batch["imgs"], batch["points"], batch["points_mask"],
+            batch["speed"], batch["target_point"], batch["command"],
+            c2e, K, e2i,
+            batch.get("teacher_wp"), batch.get("teacher_ctrl_sp"),
+        )
+        return total_loss(cfg.model, outs, batch)
+
+    return loss_fn
+
+
+def init_model_params(cfg: Config, model: ThinkTwiceModel, rng, n_points: int = 1024):
+    B, N = 1, cfg.camera.n_cams
+    m = cfg.model
+    args = [
+        jnp.zeros((B, model.n_sweeps, N, m.img_height, m.img_width, 3)),
+        jnp.zeros((B, n_points, 5)),
+        jnp.ones((B, n_points), bool),
+        jnp.zeros((B,)),
+        jnp.zeros((B, 2)),
+        jnp.zeros((B, 6)),
+        jnp.asarray(rig_lib.cam_to_ego(cfg.camera)),
+        jnp.asarray(rig_lib.intrinsics(cfg.camera)),
+        jnp.asarray(rig_lib.ego_to_img(cfg.camera)),
+        jnp.zeros((B, m.pred_len, 2)),
+        jnp.ones((B, m.pred_len, 4)),
+    ]
+    return jax.jit(model.init)(rng, *args)
+
+
+def collect_stream(
+    cfg: Config,
+    roach_params,
+    town: TownMap,
+    routes,                # (W, R, 3) array of routes for the world batch
+    rng,
+    frames_per_chunk: int = 16,
+    n_vehicles: int = 8,
+) -> Iterator[dict]:
+    """Infinite stream of training batches from in-graph expert rollouts.
+
+    Each yield collects `frames_per_chunk` frames from one rolling world and
+    converts them to (frames_per_chunk - pred_len) examples. Worlds reset
+    round-robin when done."""
+    collect_j = jax.jit(collect_batch, static_argnums=(0, 4))
+    w = 0
+    while True:
+        rng, sub = jax.random.split(rng)
+        st = reset_world(
+            cfg, town, routes[w % routes.shape[0]], sub, n_vehicles=n_vehicles
+        )
+        final, frames, sensors = collect_j(
+            cfg, roach_params, town, st, frames_per_chunk
+        )
+        yield frames_to_batch(cfg, frames, sensors, cfg.model.pred_len)
+        w += 1
+
+
+def train(
+    cfg: Config,
+    model: ThinkTwiceModel,
+    batches: Iterator[dict],
+    n_steps: int,
+    ckpt_dir: str | None = None,
+    log_path: str | None = None,
+    resume: bool = False,
+    params=None,
+    log_every: int = 10,
+    ckpt_every: int = 500,
+):
+    """Run n_steps of training over the batch stream. Returns TrainState."""
+    if params is None:
+        params = init_model_params(cfg, model, jax.random.key(cfg.train.seed))
+    state = create_train_state(cfg, params)
+    if resume and ckpt_dir:
+        try:
+            state = ckpt_lib.restore_train_state(ckpt_dir, state)
+            print(f"resumed from step {int(state.step)}")
+        except FileNotFoundError:
+            pass
+
+    step_fn = make_train_step(cfg, model_loss_fn(cfg, model))
+    logf = open(log_path, "a") if log_path else None
+    t0 = time.time()
+    for i in range(n_steps):
+        batch = next(batches)
+        state, metrics = step_fn(state, batch)
+        if (i + 1) % log_every == 0 or i == 0:
+            host = {
+                k: round(float(v), 5)
+                for k, v in metrics.items()
+            }
+            host["step"] = int(state.step)
+            host["wall_s"] = round(time.time() - t0, 1)
+            line = json.dumps(host)
+            print(line, flush=True)
+            if logf:
+                logf.write(line + "\n")
+                logf.flush()
+        if ckpt_dir and (int(state.step) % ckpt_every == 0):
+            ckpt_lib.save_train_state(ckpt_dir, state)
+    if ckpt_dir:
+        ckpt_lib.save_train_state(ckpt_dir, state)
+    if logf:
+        logf.close()
+    return state
