@@ -1,0 +1,73 @@
+"""Vehicle-based adversarial scenario tests (crossing / oncoming)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thinktwice_tpu.sim import scenarios as scen_lib
+from thinktwice_tpu.sim.reset import make_scenarios, reset_world
+from thinktwice_tpu.sim.step import step_world
+
+
+JIT_STEP = jax.jit(step_world, static_argnums=0)
+
+
+def straight_route(x0=10.0, y=-1.75, length=150.0, n=256):
+    xs = np.linspace(x0, x0 + length, n)
+    return jnp.asarray(
+        np.stack([xs, np.full_like(xs, y), np.zeros_like(xs)], 1), jnp.float32
+    )
+
+
+def run_with_scenario(small_cfg, town, kind, trigger, yaw, ticks=400,
+                      throttle=0.7):
+    scen = make_scenarios(
+        small_cfg,
+        kinds=np.asarray([kind]),
+        trigger_pos=np.asarray([trigger]),
+        actor_idx=np.asarray([0]),
+        params=np.asarray([[15.0, yaw, 0.0, 0.0]]),
+    )
+    st = reset_world(
+        small_cfg, town, straight_route(), jax.random.key(0), scenario=scen
+    )
+    veh_active_seen = False
+    max_speed = 0.0
+    for _ in range(ticks):
+        st, _ = JIT_STEP(small_cfg, town, st, jnp.asarray([0.0, throttle, 0.0]))
+        if bool(st.traffic.active[0]):
+            veh_active_seen = True
+            max_speed = max(max_speed, float(st.traffic.speed[0]))
+    return st, veh_active_seen, max_speed
+
+
+def test_crossing_vehicle_spawns_and_despawns(small_cfg, town):
+    st, seen, vmax = run_with_scenario(
+        small_cfg, town, scen_lib.KIND_CROSSING_VEHICLE,
+        trigger=[40.0, -8.0], yaw=np.pi / 2,
+    )
+    assert seen
+    assert vmax > 4.0  # barreled through
+    assert not bool(st.traffic.active[0])  # despawned after duration
+    assert int(st.scenario.state[0]) == scen_lib.DONE
+
+
+def test_oncoming_vehicle_heads_at_ego(small_cfg, town):
+    st, seen, vmax = run_with_scenario(
+        small_cfg, town, scen_lib.KIND_ONCOMING_VEHICLE,
+        trigger=[60.0, -1.75], yaw=np.pi,  # spawns ahead, drives -x at ego
+        ticks=500,
+    )
+    assert seen
+    assert int(st.scenario.state[0]) != scen_lib.ARMED
+    # the vehicle drove toward the ego (-x) from its spawn
+    assert float(st.traffic.pos[0, 0]) < 60.0
+
+
+def test_scenario_collision_scored(small_cfg, town):
+    # oncoming car on the ego's exact line + full-throttle ego = collision
+    st, _, _ = run_with_scenario(
+        small_cfg, town, scen_lib.KIND_ONCOMING_VEHICLE,
+        trigger=[45.0, -1.75], yaw=np.pi, ticks=300, throttle=1.0,
+    )
+    assert int(st.criteria.n_collision_vehicle) >= 1

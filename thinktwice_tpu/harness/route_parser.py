@@ -114,15 +114,15 @@ def match_scenarios_to_route(
 # classes; kinds here mirror sim/scenarios.py.
 SCENARIO_NAME_TO_KIND = {
     "Scenario1": 2,   # ControlLoss
-    "Scenario2": 3,   # FollowLeadingVehicle
-    "Scenario3": 1,   # DynamicObjectCrossing
-    "Scenario4": 1,   # VehicleTurningRoute -> crossing-class hazard
+    "Scenario2": 3,   # FollowLeadingVehicle (lead brakes)
+    "Scenario3": 1,   # DynamicObjectCrossing (walker darts out)
+    "Scenario4": 4,   # VehicleTurningRoute -> crossing vehicle at junction
     "Scenario5": 3,   # OtherLeadingVehicle
-    "Scenario6": 3,   # ManeuverOppositeDirection -> lead-vehicle class for now
-    "Scenario7": 2,   # SignalJunctionCrossingRoute
-    "Scenario8": 2,   # NoSignalJunctionCrossingRoute
-    "Scenario9": 1,
-    "Scenario10": 3,
+    "Scenario6": 5,   # ManeuverOppositeDirection -> oncoming vehicle
+    "Scenario7": 4,   # SignalJunctionCrossingRoute
+    "Scenario8": 4,   # NoSignalJunctionCrossingRoute
+    "Scenario9": 4,
+    "Scenario10": 5,
 }
 
 

@@ -31,6 +31,10 @@ KIND_EMPTY = 0
 KIND_DYNAMIC_CROSSING = 1
 KIND_CONTROL_LOSS = 2
 KIND_LEAD_VEHICLE_BRAKE = 3
+KIND_CROSSING_VEHICLE = 4   # Signal/NoSignalJunctionCrossingRoute: an NPC
+                            # barrels through the junction across the ego path
+KIND_ONCOMING_VEHICLE = 5   # ManeuverOppositeDirection: an NPC drives at the
+                            # ego in its own lane
 
 ARMED, RUNNING, DONE = 0, 1, 2
 
@@ -39,6 +43,10 @@ CROSSING_DURATION = 6.0   # s
 CONTROL_LOSS_DURATION = 3.0
 CONTROL_LOSS_NOISE = 0.15  # steer noise amplitude
 LEAD_BRAKE_DURATION = 5.0
+CROSS_VEHICLE_SPEED = 8.0
+CROSS_VEHICLE_DURATION = 6.0
+ONCOMING_SPEED = 6.0
+ONCOMING_DURATION = 5.0
 
 
 def step_scenarios(
@@ -52,8 +60,10 @@ def step_scenarios(
 ):
     """Advance every scenario slot one tick.
 
-    Returns (new_scen, new_walkers, traffic_speed_override, steer_noise).
-    traffic_speed_override: (V,) f32 desired-speed cap (1e4 = no override).
+    Returns (new_scen, new_walkers, new_traffic, traffic_speed_override,
+    steer_noise). traffic_speed_override: (V,) f32 desired-speed cap
+    (1e4 = no override); vehicle scenarios additionally take direct pose
+    control of their actor via the returned TrafficState.
     """
     S = scen.kind.shape[0]
     d_trig = jnp.linalg.norm(scen.trigger_pos - ego_pos[None], axis=-1)
@@ -61,15 +71,17 @@ def step_scenarios(
 
     fire = (scen.state == ARMED) & (scen.kind != KIND_EMPTY) & (d_trig < trigger_dist)
 
-    duration = jnp.where(
-        scen.kind == KIND_DYNAMIC_CROSSING,
-        CROSSING_DURATION,
-        jnp.where(
-            scen.kind == KIND_CONTROL_LOSS,
+    durations = jnp.asarray(
+        [
+            1e9,                   # EMPTY (never)
+            CROSSING_DURATION,     # DYNAMIC_CROSSING
             CONTROL_LOSS_DURATION,
             LEAD_BRAKE_DURATION,
-        ),
+            CROSS_VEHICLE_DURATION,
+            ONCOMING_DURATION,
+        ]
     )
+    duration = durations[jnp.clip(scen.kind, 0, 5)]
     new_timer = jnp.where(
         scen.state == RUNNING, scen.timer + dt, jnp.where(fire, 0.0, scen.timer)
     )
@@ -113,6 +125,45 @@ def step_scenarios(
     brake_mask = jnp.einsum("sv,s->v", veh_onehot, braking) > 0.5
     speed_override = jnp.where(brake_mask, 0.0, 1e4)
 
+    # --- adversarial vehicle spawns (junction crossing / oncoming) --------
+    # param = [trigger_dist, drive_yaw, _, _]; the actor slot activates at
+    # trigger_pos driving straight at a fixed speed for the duration, then
+    # deactivates (≡ the py_trees actor-source/sink pattern,
+    # atomic_behaviors.py ActorSource/ActorSink)
+    is_vehicle_scen = (scen.kind == KIND_CROSSING_VEHICLE) | (
+        scen.kind == KIND_ONCOMING_VEHICLE
+    )
+    v_activate = (fire & is_vehicle_scen)[:, None] & (veh_onehot > 0.5)  # (S, V)
+    v_deactivate = (finish & is_vehicle_scen)[:, None] & (veh_onehot > 0.5)
+    v_act_any = jnp.any(v_activate, axis=0)
+    v_deact_any = jnp.any(v_deactivate, axis=0)
+    v_running = ((new_state == RUNNING) & is_vehicle_scen)[:, None] & (
+        veh_onehot > 0.5
+    )
+    v_run_any = jnp.any(v_running, axis=0)
+
+    spawn_pos = jnp.einsum("sv,sc->vc", v_activate.astype(jnp.float32), scen.trigger_pos)
+    spawn_yaw = jnp.einsum("sv,s->v", v_activate.astype(jnp.float32), scen.param[:, 1])
+    scen_speed = jnp.where(
+        scen.kind == KIND_CROSSING_VEHICLE, CROSS_VEHICLE_SPEED, ONCOMING_SPEED
+    )
+    run_speed = jnp.einsum("sv,s->v", v_running.astype(jnp.float32), scen_speed)
+
+    new_traffic = TrafficState(
+        pos=jnp.where(v_act_any[:, None], spawn_pos, traffic.pos),
+        yaw=jnp.where(v_act_any, spawn_yaw, traffic.yaw),
+        speed=jnp.where(
+            v_act_any, run_speed, jnp.where(v_deact_any, 0.0, traffic.speed)
+        ),
+        extent=traffic.extent,
+        wp_idx=traffic.wp_idx,
+        active=(traffic.active | v_act_any) & ~v_deact_any,
+    )
+    # while running, the scenario vehicle holds its heading/speed (the step
+    # function routes `scripted_mask` vehicles past the traffic policy)
+    scripted_mask = v_run_any
+    scripted_speed = run_speed
+
     # --- ego steering noise for CONTROL_LOSS -------------------------------
     noise_active = jnp.any(
         (new_state == RUNNING) & (scen.kind == KIND_CONTROL_LOSS)
@@ -131,4 +182,12 @@ def step_scenarios(
         actor_idx=scen.actor_idx,
         param=scen.param,
     )
-    return new_scen, new_wlk, speed_override, steer_noise
+    return (
+        new_scen,
+        new_wlk,
+        new_traffic,
+        speed_override,
+        steer_noise,
+        scripted_mask,
+        scripted_speed,
+    )

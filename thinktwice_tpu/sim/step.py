@@ -68,9 +68,18 @@ def step_world(
     t = state.time_s
     tl_states = traffic_light_states(town, t)
 
-    # --- scenarios (may inject walkers / overrides / ego steer noise) -----
-    scen, walkers, npc_speed_cap, steer_noise = scen_lib.step_scenarios(
-        cfg, state.scenario, state.ego.pos, state.walkers, state.traffic, rng_scen, sim.dt
+    # --- scenarios (inject walkers/vehicles, overrides, ego steer noise) --
+    (
+        scen,
+        walkers,
+        scen_traffic,
+        npc_speed_cap,
+        steer_noise,
+        scripted_mask,
+        scripted_speed,
+    ) = scen_lib.step_scenarios(
+        cfg, state.scenario, state.ego.pos, state.walkers, state.traffic,
+        rng_scen, sim.dt,
     )
 
     # --- ego integration ---------------------------------------------------
@@ -97,7 +106,7 @@ def step_world(
     )
 
     # --- traffic -----------------------------------------------------------
-    tr = state.traffic
+    tr = scen_traffic
     yaw_rate, accel, new_wp = traffic_policy(
         sim,
         town,
@@ -119,6 +128,12 @@ def step_world(
     # decays toward the cap
     over_cap = tr.speed > npc_speed_cap
     accel = jnp.where(over_cap, -sim.npc_decel, accel)
+    # scripted scenario vehicles hold heading and speed (junction crossing /
+    # oncoming adversaries ignore lanes while running)
+    yaw_rate = jnp.where(scripted_mask, 0.0, yaw_rate)
+    accel = jnp.where(
+        scripted_mask, (scripted_speed - tr.speed) / sim.dt * 0.5, accel
+    )
 
     t_pos, t_yaw, t_speed = point_mass_step(
         tr.pos, tr.yaw, tr.speed, yaw_rate, accel, sim.dt
