@@ -97,16 +97,32 @@ def sample_ground_semantic(town: TownMap, pts_xy):
 
 
 def cast_scene(town: TownMap, origins, dirs, veh_pose, veh_active,
-               wlk_pose, wlk_active):
+               wlk_pose, wlk_active, use_pallas: bool | None = None):
     """Full scene intersection.
 
     origins/dirs (R, 3) world frame; veh_pose (V, 6); wlk_pose (W, 6).
     Returns dict: t (R,) depth along ray, semantic (R,) int32,
     normal_shade (R,) in [0,1] for simple lambert shading.
+
+    On TPU the box intersection runs as the Pallas kernel
+    (ops/raycast_pallas.py — bit-identical, ~30x faster at camera scale by
+    keeping per-box slab tests in registers instead of (R, N) HBM arrays).
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
     t_g = ray_ground(origins, dirs)
-    t_v, _ = ray_boxes(origins, dirs, veh_pose, veh_active)
-    t_w, _ = ray_boxes(origins, dirs, wlk_pose, wlk_active)
+    V = veh_pose.shape[0]
+    all_pose = jnp.concatenate([veh_pose, wlk_pose], axis=0)
+    all_active = jnp.concatenate([veh_active, wlk_active], axis=0)
+    if use_pallas:
+        from thinktwice_tpu.ops.raycast_pallas import ray_boxes_pallas
+
+        t_b, idx_b = ray_boxes_pallas(origins, dirs, all_pose, all_active)
+    else:
+        t_b, idx_b = ray_boxes(origins, dirs, all_pose, all_active)
+    t_v = jnp.where((idx_b >= 0) & (idx_b < V), t_b, MAX_T)
+    t_w = jnp.where(idx_b >= V, t_b, MAX_T)
 
     t = jnp.minimum(jnp.minimum(t_g, t_v), t_w)
     any_hit = t < MAX_T

@@ -62,7 +62,7 @@ def restore_train_state(ckpt_dir: str, template: TrainState) -> TrainState:
 
 def save_pytree(path: str, tree: Any):
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(path), tree)
+    ckptr.save(os.path.abspath(path), tree, force=True)
     ckptr.wait_until_finished()
 
 
