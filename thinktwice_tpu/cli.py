@@ -110,9 +110,45 @@ def cmd_collect(args):
 
 
 def cmd_train(args):
-    print("round-1 training entry: use tests/test_train.py patterns; "
-          "full epoch driver lands with the dataset pipeline")
-    sys.exit(0)
+    """Train the student on in-graph collected data (tiny-config friendly)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from thinktwice_tpu.agents.roach import RoachPolicy
+    from thinktwice_tpu.train import checkpoint as ckpt_lib
+    from thinktwice_tpu.train.loop import collect_stream, make_model, train
+
+    cfg, town = _build_world(args)
+    policy = RoachPolicy()
+    rparams = policy.init(
+        jax.random.key(0),
+        jnp.zeros((1, cfg.birdview.n_channels, 192, 192)),
+        jnp.zeros((1, cfg.roach.state_dim)),
+    )
+    if args.roach_ckpt:
+        rparams = ckpt_lib.restore_pytree(args.roach_ckpt, rparams)
+    xs = np.linspace(5.0, 180.0, 256)
+    routes = jnp.asarray(
+        np.stack(
+            [
+                np.stack([xs, np.full_like(xs, 98.25), np.zeros_like(xs)], 1),
+                np.stack([xs, np.full_like(xs, 198.25), np.zeros_like(xs)], 1),
+            ]
+        ),
+        jnp.float32,
+    )
+    model = make_model(cfg, backbone_depth=args.backbone)
+    batches = collect_stream(
+        cfg, rparams, town, routes, jax.random.key(cfg.train.seed),
+        frames_per_chunk=16, n_vehicles=args.vehicles,
+    )
+    train(
+        cfg, model, batches, n_steps=args.steps,
+        ckpt_dir=args.ckpt_dir, log_path=os.path.join(args.ckpt_dir, "train.jsonl")
+        if args.ckpt_dir else None,
+        resume=args.resume,
+    )
 
 
 def cmd_benchmark(args):
@@ -152,6 +188,10 @@ def main():
     common(t)
     t.add_argument("--steps", type=int, default=100)
     t.add_argument("--ckpt-dir", default="ckpts")
+    t.add_argument("--backbone", type=int, default=50)
+    t.add_argument("--roach-ckpt", default=None,
+                   help="orbax dir of PPO-trained expert params")
+    t.add_argument("--resume", action="store_true")
     t.set_defaults(fn=cmd_train)
 
     b = sub.add_parser("benchmark")

@@ -105,6 +105,30 @@ def collect_stream(
         w += 1
 
 
+def make_eval_fn(cfg: Config, model: ThinkTwiceModel):
+    """Validation pass ≡ the reference's CustomEvalHook
+    (code/core/evaluation/eval_hooks.py:30-153): run the same losses over val
+    batches without gradients and average the log_vars."""
+    loss_fn = model_loss_fn(cfg, model)
+
+    @jax.jit
+    def eval_batch(params, batch):
+        _, metrics = loss_fn(params, batch)
+        return metrics
+
+    def evaluate(params, val_batches) -> dict:
+        acc: dict = {}
+        n = 0
+        for batch in val_batches:
+            m = eval_batch(params, batch)
+            for k, v in m.items():
+                acc[k] = acc.get(k, 0.0) + float(v)
+            n += 1
+        return {f"val_{k}": v / max(n, 1) for k, v in acc.items()}
+
+    return evaluate
+
+
 def train(
     cfg: Config,
     model: ThinkTwiceModel,
@@ -116,6 +140,8 @@ def train(
     params=None,
     log_every: int = 10,
     ckpt_every: int = 500,
+    val_batches_fn=None,
+    eval_every: int = 500,
 ):
     """Run n_steps of training over the batch stream. Returns TrainState."""
     if params is None:
@@ -148,6 +174,13 @@ def train(
                 logf.flush()
         if ckpt_dir and (int(state.step) % ckpt_every == 0):
             ckpt_lib.save_train_state(ckpt_dir, state)
+        if val_batches_fn is not None and (int(state.step) % eval_every == 0):
+            ev = make_eval_fn(cfg, model)(state.params, val_batches_fn())
+            line = json.dumps({**ev, "step": int(state.step)})
+            print(line, flush=True)
+            if logf:
+                logf.write(line + "\n")
+                logf.flush()
     if ckpt_dir:
         ckpt_lib.save_train_state(ckpt_dir, state)
     if logf:
