@@ -130,11 +130,17 @@ def traffic_policy(
     d_red = _red_light_dist(town, tl_states, veh_pos, veh_yaw)
     gap = jnp.minimum(gap, jnp.where(d_red < cfg.tl_stop_distance, d_red - 2.0, 1e4))
 
+    # per-vehicle cruise diversity ≈ TrafficManager's per-vehicle speed
+    # percentage differences (behavior profiles): deterministic golden-ratio
+    # spread of 0.8x..1.2x over the slots
+    slot = jax.lax.broadcasted_iota(jnp.float32, (V, 1), 0)[:, 0]
+    cruise = cfg.npc_cruise_speed * (0.8 + 0.4 * jnp.mod(slot * 0.618034, 1.0))
+
     desired_gap = cfg.npc_gap + veh_speed * cfg.npc_time_headway
     v_des = jnp.where(
         gap < desired_gap,
-        cfg.npc_cruise_speed * jnp.clip((gap - 2.0) / jnp.maximum(desired_gap, 1e-3), 0.0, 1.0),
-        cfg.npc_cruise_speed,
+        cruise * jnp.clip((gap - 2.0) / jnp.maximum(desired_gap, 1e-3), 0.0, 1.0),
+        cruise,
     )
     accel = jnp.clip((v_des - veh_speed) / 0.5, -cfg.npc_decel, cfg.npc_accel)
 
