@@ -209,6 +209,39 @@ def render_birdview(
     )
 
 
+def render_birdview_rgb(cfg: BirdviewConfig, masks, ego_extent=None):
+    """Compose the channel stack into the ObsManager debug RGB image
+    (chauffeurnet.py:143-166 'rendered', tint-faded history). masks
+    (C, W, W) in [0,1] -> (W, W, 3) float RGB in [0,1]."""
+    W = cfg.width
+    img = jnp.zeros((W, W, 3))
+
+    def paint(img, mask, color, alpha=1.0):
+        c = jnp.asarray(color) / 255.0
+        return jnp.where(mask[..., None] > 0.1, c * alpha + img * 0, img)
+
+    img = paint(img, masks[0], (83, 87, 83))          # road (ALUMINIUM_5)
+    img = paint(img, masks[1], (136, 138, 133))       # route (ALUMINIUM_3)
+    img = paint(img, masks[2], (255, 0, 255))         # lanes (MAGENTA)
+    h_len = len(cfg.history_idx) - 1
+    for i in range(len(cfg.history_idx)):
+        fade = 1.0 - 0.2 * (h_len - i)
+        img = paint(img, masks[3 + i], (0, 0, 255), fade)            # vehicles
+        img = paint(img, masks[3 + len(cfg.history_idx) + i], (0, 255, 255), fade)  # walkers
+        tl = masks[3 + 2 * len(cfg.history_idx) + i]
+        img = paint(img, (tl > 0.25) & (tl < 0.4), (0, 255, 0), fade)    # green
+        img = paint(img, (tl > 0.6) & (tl < 0.75), (255, 255, 0), fade)  # yellow
+        img = paint(img, tl > 0.9, (255, 0, 0), fade)                    # red
+    # ego box in white at the canonical position
+    if ego_extent is not None:
+        r0 = W - cfg.pixels_ev_to_bottom
+        ppm = cfg.pixels_per_meter
+        ex = int(float(ego_extent[0]) * ppm)
+        ey = int(float(ego_extent[1]) * ppm)
+        img = img.at[r0 - ex : r0 + ex, W // 2 - ey : W // 2 + ey].set(1.0)
+    return img
+
+
 def birdview_from_state(cfg: BirdviewConfig, town: TownMap, state: WorldState):
     """Convenience wrapper: observation for the current WorldState, using the
     upcoming route window from the criteria's route index (route_plan[0:80]

@@ -111,16 +111,21 @@ def command_onehot(target_point):
     return jax.nn.one_hot(cmd, 6)
 
 
-def frames_to_batch(cfg: Config, frames: Frame, sensors: dict, pred_len: int = 4):
-    """Stacked frames (F, ...) -> model batch of F - pred_len examples.
+def frames_to_batch(cfg: Config, frames: Frame, sensors: dict,
+                    pred_len: int = 4, n_sweeps: int = 1):
+    """Stacked frames (F, ...) -> model batch of F - pred_len - (n_sweeps-1)
+    examples.
 
     Future targets are shifts of the same trajectory: example i uses frames
     i+1..i+pred_len for GT waypoints (current-ego frame) and future Roach
     actions — replacing the reference's 5-JSON-5-npy random reads per item
-    (carla_dataset.py:115-203) with pure slicing."""
+    (carla_dataset.py:115-203) with pure slicing. With n_sweeps=2 the history
+    camera sweep is the previous saved frame (the reference's
+    history_query_index_lis = [-1, 0] at the same 2 Hz cadence) and the lidar
+    is the two-sweep ego-motion merge of union2one."""
     F = frames.pos.shape[0]
-    n = F - pred_len
-    idx = jnp.arange(n)
+    n = F - pred_len - (n_sweeps - 1)
+    idx = jnp.arange(n) + (n_sweeps - 1)
 
     pos, yaw = frames.pos, frames.yaw
     gt_wp = []
@@ -146,14 +151,31 @@ def frames_to_batch(cfg: Config, frames: Frame, sensors: dict, pred_len: int = 4
         fut_a.append(alpha[idx + k])
         fut_b.append(beta[idx + k])
 
-    rgb = sensors["rgb"][idx]                              # (n, N, H, W, 3)
+    sweep_rgb = [
+        sensors["rgb"][idx - (n_sweeps - 1 - t)] for t in range(n_sweeps)
+    ]                                                      # oldest first
+    rgb = jnp.stack(sweep_rgb, axis=1)                     # (n, T_sw, N, H, W, 3)
     imgs = (rgb - IMAGENET_MEAN) / IMAGENET_STD
-    imgs = imgs[:, None]                                   # single sweep axis
+
+    if n_sweeps >= 2:
+        from thinktwice_tpu.sensors.lidar import merge_sweeps
+
+        def merge_one(i):
+            return merge_sweeps(
+                sensors["lidar"][i][:, :4], sensors["lidar_mask"][i],
+                sensors["lidar"][i - 1][:, :4], sensors["lidar_mask"][i - 1],
+                (frames.pos[i], frames.yaw[i]),
+                (frames.pos[i - 1], frames.yaw[i - 1]),
+            )
+
+        points, points_mask = jax.vmap(merge_one)(idx)
+    else:
+        points, points_mask = sensors["lidar"][idx], sensors["lidar_mask"][idx]
 
     batch = {
         "imgs": imgs,
-        "points": sensors["lidar"][idx],
-        "points_mask": sensors["lidar_mask"][idx],
+        "points": points,
+        "points_mask": points_mask,
         "speed": frames.speed[idx],
         "target_point": frames.target_point[idx],
         "command": command_onehot(frames.target_point[idx]),
