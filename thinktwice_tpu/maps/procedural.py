@@ -200,6 +200,25 @@ def make_grid_town(
     tl_slot = np.asarray(tl_slot, np.int32)
     tl_nslots = np.asarray(tl_nslots, np.int32)
 
+    # --- stop signs at the (unsignalized) perimeter corners ---------------
+    # each corner gets one stop per approach direction along the perimeter
+    stop_pos, stop_yaw = [], []
+    half_l = LANE_W / 2.0
+    setb = ROAD_HALF_W + 2.0
+    corners = [(0.0, 0.0), (extent, 0.0), (extent, extent), (0.0, extent)]
+    approach_of_corner = [
+        (0.0, (-setb, -half_l)),          # eastbound into (0,0)... heading +x
+        (np.pi / 2, (half_l, -setb)),     # northbound into (extent, 0)
+        (np.pi, (setb, half_l)),          # westbound into (extent, extent)
+        (-np.pi / 2, (-half_l, setb)),    # southbound into (0, extent)
+    ]
+    for (cx, cy), (yaw, (ox, oy)) in zip(corners, approach_of_corner):
+        stop_pos.append((cx + ox, cy + oy))
+        stop_yaw.append(yaw)
+    stop_pos = np.asarray(stop_pos, np.float32).reshape(-1, 2)
+    stop_yaw = np.asarray(stop_yaw, np.float32)
+    n_stop = len(stop_pos)
+
     # --- spawn points: lane waypoints far from intersections --------------
     sp = []
     for i in range(0, n_lane, 8):
@@ -233,9 +252,9 @@ def make_grid_town(
         tl_slot=j(pad_rows(tl_slot, max_lights).astype(np.int32)),
         tl_nslots=j(pad_rows(tl_nslots, max_lights, fill=1).astype(np.int32)),
         tl_valid=j(pad_rows(np.ones(n_tl, bool), max_lights).astype(bool)),
-        stop_pos=j(np.zeros((max_stops, 2), np.float32)),
-        stop_yaw=j(np.zeros((max_stops,), np.float32)),
-        stop_valid=j(np.zeros((max_stops,), bool)),
+        stop_pos=j(pad_rows(stop_pos, max_stops)),
+        stop_yaw=j(pad_rows(stop_yaw, max_stops)),
+        stop_valid=j(pad_rows(np.ones(n_stop, bool), max_stops).astype(bool)),
         spawn=j(pad_rows(spawn, max_spawn)),
         spawn_valid=j(pad_rows(np.ones(n_spawn, bool), max_spawn).astype(bool)),
         road_segs=j(pad_rows(road_segs, max_road_segs)),
