@@ -1,0 +1,57 @@
+"""Closed-loop ThinkTwice driver: model-in-the-loop rollout (Config-3 smoke,
+tiny model — validates the full sense->plan->act->step graph compiles and
+produces sane controls)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from thinktwice_tpu.agents.thinktwice_driver import (
+    driver_init,
+    make_thinktwice_driver,
+)
+from thinktwice_tpu.sim.reset import reset_world
+from thinktwice_tpu.sim.step import step_world
+from thinktwice_tpu.train.loop import init_model_params, make_model
+from tests.test_pipeline import TINY, straight_route
+
+
+@pytest.fixture(scope="module")
+def driver_setup():
+    model = make_model(TINY, backbone_depth=10)
+    n_rays = TINY.lidar.n_beams * TINY.lidar.n_azimuth
+    params = init_model_params(TINY, model, jax.random.key(0), n_points=n_rays)
+    return model, params
+
+
+def test_driver_step(town, driver_setup):
+    model, params = driver_setup
+    st = reset_world(TINY, town, straight_route(), jax.random.key(0))
+    policy = make_thinktwice_driver(TINY, model, params)
+
+    @jax.jit
+    def one(st, drv):
+        ctrl, drv = policy(TINY, town, st, drv)
+        st2, _ = step_world(TINY, town, st, ctrl)
+        return st2, drv, ctrl
+
+    drv = driver_init()
+    for _ in range(3):
+        st, drv, ctrl = one(st, drv)
+    c = np.asarray(ctrl)
+    assert c.shape == (3,)
+    assert -1.0 <= c[0] <= 1.0 and 0.0 <= c[1] <= 1.0 and 0.0 <= c[2] <= 1.0
+    assert np.isfinite(np.asarray(st.ego.pos)).all()
+
+
+def test_driver_rollout_scan(town, driver_setup):
+    from thinktwice_tpu.agents.thinktwice_driver import rollout_thinktwice
+
+    model, params = driver_setup
+    st = reset_world(TINY, town, straight_route(), jax.random.key(1))
+    final = jax.jit(
+        rollout_thinktwice, static_argnums=(0, 2, 5)
+    )(TINY, town, model, params, st, 10)
+    assert int(final.tick) == 10
+    assert np.isfinite(np.asarray(final.ego.pos)).all()
