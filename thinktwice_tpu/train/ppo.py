@@ -84,15 +84,39 @@ def _beta_entropy(alpha, beta):
     return jnp.sum(ent, axis=-1)
 
 
+P_LATERAL = 0.2        # per-step, per-meter of lane-center deviation beyond 0.5 m
+P_HEADING = 0.1        # per-step, per-radian of heading error vs the route
+
+
 def compute_reward(prev: WorldState, new: WorldState, events) -> jax.Array:
-    """Carla-roach-style dense driving reward (see module docstring)."""
+    """Carla-roach-style dense driving reward (see module docstring):
+    progress + speed tracking − lane-position / heading deviation − off-road
+    meters − infraction events. The deviation terms are what keep the policy
+    off the curbs (their absence produced a 96% RC / 168 layout-collisions-
+    per-km corner-cutter in the first training run)."""
     progress = (
         new.criteria.route_completion - prev.criteria.route_completion
     ) * new.route_len_m  # meters gained along the route
     speed_err = jnp.abs(new.ego.speed - jnp.minimum(DESIRED_SPEED, 99.0))
+
+    # lane-position + heading terms vs the matched route point
+    idx = new.criteria.route_idx
+    route_pt = new.route[idx, :2]
+    route_yaw = new.route[idx, 2]
+    lat = jnp.linalg.norm(route_pt - new.ego.pos)
+    dyaw = jnp.abs(
+        jnp.arctan2(
+            jnp.sin(route_yaw - new.ego.yaw), jnp.cos(route_yaw - new.ego.yaw)
+        )
+    )
+    offlane_delta = new.criteria.dist_offlane - prev.criteria.dist_offlane
+
     r = (
         1.0 * progress
         + R_SPEED * (1.0 - speed_err / DESIRED_SPEED)
+        - P_LATERAL * jnp.clip(lat - 0.5, 0.0, 4.0)
+        - P_HEADING * jnp.clip(dyaw, 0.0, 1.5)
+        - P_OFFROAD * offlane_delta
         - P_COLLISION * (
             events.collision_vehicle.astype(jnp.float32)
             + events.collision_walker.astype(jnp.float32)
