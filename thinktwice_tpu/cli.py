@@ -48,10 +48,23 @@ def cmd_evaluate(args):
 
     cfg, town = _build_world(args)
 
+    scenarios = None
     if args.routes:
         specs = parse_routes_file(args.routes)
         routes = [s.dense(spacing=1.0) for s in specs]
         ids = [s.route_id for s in specs]
+        if args.scenarios:
+            from thinktwice_tpu.harness.evaluator import build_route_scenarios
+            from thinktwice_tpu.harness.route_parser import (
+                match_scenarios_to_route,
+                parse_scenarios_file,
+            )
+
+            scenarios = []
+            for spec, dense in zip(specs, routes):
+                trigs = parse_scenarios_file(args.scenarios, spec.town)
+                matched = match_scenarios_to_route(trigs, dense)
+                scenarios.append(build_route_scenarios(cfg, dense, matched))
     else:
         # built-in smoke routes on the procedural town
         routes, ids = [], []
@@ -72,6 +85,7 @@ def cmd_evaluate(args):
         out_path=args.out,
         resume=args.resume,
         stop_penalty=1.0 if args.benchmark == "longest6" else PENALTY_STOP,
+        scenarios=scenarios,
     )
     print(json.dumps(g["scores"], indent=2))
 
@@ -170,6 +184,8 @@ def main():
     e = sub.add_parser("evaluate")
     common(e)
     e.add_argument("--routes", default=None, help="route XML (reference format)")
+    e.add_argument("--scenarios", default=None,
+                   help="scenario JSON (reference format)")
     e.add_argument("--agent", default="autopilot")
     e.add_argument("--n-routes", type=int, default=4)
     e.add_argument("--batch", type=int, default=4)

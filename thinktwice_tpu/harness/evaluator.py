@@ -32,6 +32,43 @@ from thinktwice_tpu.sim.state import WorldState
 from thinktwice_tpu.sim.step import step_world
 
 
+def build_route_scenarios(cfg: Config, dense_route: np.ndarray, triggers):
+    """ScenarioTrigger list (harness.route_parser) -> ScenarioState for one
+    route (≡ RouteScenario._build_scenario_instances). Walker-class scenarios
+    get walker slots round-robin; vehicle-class scenarios get the top traffic
+    slots (reserved above the background-traffic count)."""
+    from thinktwice_tpu.harness.route_parser import SCENARIO_NAME_TO_KIND
+    from thinktwice_tpu.sim.reset import make_scenarios
+
+    kinds, poss, actors, params = [], [], [], []
+    w_slot, v_slot = 0, cfg.sim.max_vehicles - 1
+    for t in triggers[: cfg.sim.max_scenarios]:
+        kind = SCENARIO_NAME_TO_KIND.get(t.scenario_type, 0)
+        if kind == 0:
+            continue
+        if kind in (1,):                     # walker actor
+            actor = w_slot % cfg.sim.max_walkers
+            w_slot += 1
+        elif kind in (3, 4, 5):              # vehicle actor
+            actor = v_slot
+            v_slot = max(v_slot - 1, 0)
+        else:                                # ego-only (control loss)
+            actor = 0
+        kinds.append(kind)
+        poss.append(t.pos)
+        actors.append(actor)
+        params.append([15.0, np.deg2rad(t.yaw_deg), 0.0, 0.0])
+    if not kinds:
+        return None
+    return make_scenarios(
+        cfg,
+        kinds=np.asarray(kinds),
+        trigger_pos=np.asarray(poss, np.float64),
+        actor_idx=np.asarray(actors),
+        params=np.asarray(params, np.float64),
+    )
+
+
 def evaluate_routes(
     cfg: Config,
     town: TownMap,
@@ -45,6 +82,7 @@ def evaluate_routes(
     resume: bool = False,
     stop_penalty: float = PENALTY_STOP,
     seed: int = 0,
+    scenarios: Sequence | None = None,  # optional per-route ScenarioState
 ) -> dict:
     """Run every route closed-loop; returns the global statistics record."""
     R = cfg.sim.max_route_len
@@ -64,9 +102,11 @@ def evaluate_routes(
             r = np.concatenate([r, np.repeat(r[-1:], R - len(r), axis=0)])
         padded.append(r)
 
-    def run_batch(routes_b, keys_b, n_steps):
-        def one(route, key):
-            st = reset_world(cfg, town, route, key, n_vehicles=n_vehicles)
+    def run_batch(routes_b, keys_b, scen_b, n_steps):
+        def one(route, key, scen):
+            st = reset_world(
+                cfg, town, route, key, n_vehicles=n_vehicles, scenario=scen
+            )
 
             def body(carry, _):
                 s = carry
@@ -77,9 +117,17 @@ def evaluate_routes(
             final, _ = jax.lax.scan(body, st, None, length=n_steps)
             return final
 
-        return jax.vmap(one)(routes_b, keys_b)
+        return jax.vmap(one)(routes_b, keys_b, scen_b)
 
-    run_batch_j = jax.jit(run_batch, static_argnums=2)
+    run_batch_j = jax.jit(run_batch, static_argnums=3)
+
+    from thinktwice_tpu.sim.state import zero_scenarios
+
+    empty_scen = zero_scenarios(cfg)
+    scen_list = [
+        (scenarios[i] if scenarios and scenarios[i] is not None else empty_scen)
+        for i in range(len(padded))
+    ]
 
     todo = [i for i in range(len(padded)) if i not in done]
     rng = jax.random.key(seed)
@@ -91,6 +139,9 @@ def evaluate_routes(
         routes_b = jnp.asarray(np.stack([padded[i] for i in idxs]))
         rng, sub = jax.random.split(rng)
         keys_b = jax.random.split(sub, pad_to)
+        scen_b = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[scen_list[i] for i in idxs]
+        )
 
         lengths = [
             float(np.linalg.norm(np.diff(padded[i][:, :2], axis=0), axis=1).sum())
@@ -106,7 +157,7 @@ def evaluate_routes(
             n_steps = max_steps
 
         t0 = time.time()
-        final = run_batch_j(routes_b, keys_b, n_steps)
+        final = run_batch_j(routes_b, keys_b, scen_b, n_steps)
         jax.block_until_ready(final.tick)
         wall = time.time() - t0
 

@@ -129,10 +129,20 @@ def update_criteria(
     deviation = min_route_dist > sim.offroute_allowance
 
     # ---- outside route lanes ---------------------------------------------
+    # OutsideRouteLanesTest counts both off-road driving and wrong-direction
+    # lane driving (atomic_criteria.py:1042-1236: sidewalk OR opposite lane).
     step_dist = jnp.linalg.norm(ego_pos - prev_pos)
     on_road = _sample_raster(town.road, town, ego_pos[None])[0] > 0
+    d_lane = jnp.linalg.norm(town.lane_pts - ego_pos[None], axis=-1)
+    d_lane = jnp.where(town.lane_valid, d_lane, 1e9)
+    nearest_lane_yaw = town.lane_yaw[jnp.argmin(d_lane)]
+    wrong_way = (
+        jnp.abs(wrap_angle(nearest_lane_yaw - ego_yaw)) > 2.0 * jnp.pi / 3.0
+    ) & (ego_speed > 0.5)
     new_dist_driven = crit.dist_driven + step_dist
-    new_dist_offlane = crit.dist_offlane + jnp.where(on_road, 0.0, step_dist)
+    new_dist_offlane = crit.dist_offlane + jnp.where(
+        ~on_road | wrong_way, step_dist, 0.0
+    )
 
     # ---- blocked / timeout ------------------------------------------------
     new_blocked_s = jnp.where(
