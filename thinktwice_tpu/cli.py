@@ -155,7 +155,7 @@ def cmd_train(args):
     model = make_model(cfg, backbone_depth=args.backbone)
     batches = collect_stream(
         cfg, rparams, town, routes, jax.random.key(cfg.train.seed),
-        frames_per_chunk=16, n_vehicles=args.vehicles,
+        frames_per_chunk=args.frames_per_chunk, n_vehicles=args.vehicles,
     )
     train(
         cfg, model, batches, n_steps=args.steps,
@@ -205,6 +205,8 @@ def main():
     t.add_argument("--steps", type=int, default=100)
     t.add_argument("--ckpt-dir", default="ckpts")
     t.add_argument("--backbone", type=int, default=50)
+    t.add_argument("--frames-per-chunk", type=int, default=12,
+                   help="frames collected per chunk; batch = chunk - pred_len")
     t.add_argument("--roach-ckpt", default=None,
                    help="orbax dir of PPO-trained expert params")
     t.add_argument("--resume", action="store_true")

@@ -151,10 +151,14 @@ class LSS(nn.Module):
         B, N, H, W, _ = imgs.shape
         x = imgs.reshape(B * N, H, W, 3)
 
-        feats = ResNet(self.backbone_depth, name="backbone")(x)
-        fpn = PAFPN(256, name="neck")(feats)          # strides 4, 8, 16, 32
+        # remat: the image backbone holds the bulk of training activations
+        # (8 cams x ResNet pyramids); recompute them in the backward pass
+        # (jax.checkpoint) — the standard TPU memory/FLOPs trade. Cuts peak
+        # HBM several-fold at the flagship config.
+        feats = nn.remat(ResNet)(self.backbone_depth, name="backbone")(x)
+        fpn = nn.remat(PAFPN)(256, name="neck")(feats)  # strides 4, 8, 16, 32
 
-        seg, seg_feat = SegHead(m.n_seg_classes, name="seg_head")(fpn)
+        seg, seg_feat = nn.remat(SegHead)(m.n_seg_classes, name="seg_head")(fpn)
 
         # seg -> feature reinjection at stride 16 (lss.py:407-439,587-591)
         f16 = fpn[2]
