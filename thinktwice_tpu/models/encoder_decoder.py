@@ -233,9 +233,12 @@ def decoder_loss(cfg: ModelConfig, outs: dict, batch: dict) -> dict[str, jax.Arr
         jnp.mean((outs["pred_value_traj"][:, 0] - v) ** 2)
         + jnp.mean((outs["pred_value_ctrl"][:, 0] - v) ** 2)
     )
+    # distil_weight gates the Roach-feature terms (mirror augmentation sets 0
+    # because conv features are not mirror-equivariant; train/augment.py)
+    dw = batch.get("distil_weight", 1.0)
     if "roach_features" in batch:
         rf = batch["roach_features"]
-        losses["features_loss"] = FEATURES_WEIGHT * (
+        losses["features_loss"] = dw * FEATURES_WEIGHT * (
             jnp.mean((outs["pred_features_traj"] - rf) ** 2)
             + jnp.mean((outs["pred_features_ctrl"] - rf) ** 2)
         )
@@ -243,7 +246,7 @@ def decoder_loss(cfg: ModelConfig, outs: dict, batch: dict) -> dict[str, jax.Arr
         distil = 0.0
         for w, pred, gt in zip(DISTIL_WEIGHTS, outs["mid_feature"], batch["roach_cnn"]):
             distil = distil + w * jnp.mean((pred - gt) ** 2)
-        losses["distil_loss"] = distil
+        losses["distil_loss"] = dw * distil
 
     if "teacher_pred_wp_offset" in outs:
         losses["teacher_offset_loss"] = TEACHER_OFFSET_WEIGHT * (

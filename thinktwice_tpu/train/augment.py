@@ -57,3 +57,92 @@ def curriculum(step, ramp_steps: int = 10_000):
     """Strength ramp with training progress (ImageTransformMulti's batch-count
     ramp)."""
     return jnp.clip(step / ramp_steps, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Geometric flip augmentation (the role of rand_flip in the BEVDepth IDA
+# pipeline, transform.py ida_aug_conf): mirror the whole world about the
+# ego's longitudinal axis. Because scene, supervision, and sensors are all
+# generated in-graph, the geometric quantities transform exactly:
+#   images:   horizontal mirror of each camera + swap left/right cameras
+#   lidar:    y -> -y
+#   targets:  waypoint/target y -> -y; steering Beta params swapped
+# Requires a laterally symmetric camera rig (ours: yaws 0, -90, 90, 180).
+#
+# The Roach feature/CNN distillation targets are NOT mirror-equivariant
+# (conv features of a mirrored input != mirrored features), so mirrored
+# batches zero those loss terms via batch["distil_weight"] — the behavior-
+# cloning terms get the augmentation, distillation trains on the unmirrored
+# half.
+# ---------------------------------------------------------------------------
+
+# camera order (front, left, right, back) -> mirrored order
+_CAM_SWAP = (0, 2, 1, 3)
+
+
+def mirror_batch(batch: dict) -> dict:
+    """Mirror a training batch about the ego x-axis. Involutive:
+    mirror(mirror(b)) == b."""
+    out = dict(batch)
+    imgs = batch["imgs"]                                # (B, T, N, H, W, 3)
+    out["imgs"] = imgs[:, :, _CAM_SWAP, :, ::-1]
+
+    def flip_y(x):
+        return x.at[..., 1].multiply(-1.0)
+
+    out["points"] = flip_y(batch["points"])
+    out["target_point"] = flip_y(batch["target_point"])
+    out["gt_waypoints"] = flip_y(batch["gt_waypoints"])
+    if "teacher_wp" in batch and batch["teacher_wp"] is not None:
+        out["teacher_wp"] = flip_y(batch["teacher_wp"])
+
+    # Beta action (acc, steer): steer s in [-1,1] maps to Beta on [0,1] via
+    # (s+1)/2; mirroring steer negates s, i.e. swaps (alpha, beta) of the
+    # steer dim. Acc dim is unchanged.
+    def swap_steer(a, b):
+        a2 = a.at[..., 1].set(b[..., 1])
+        b2 = b.at[..., 1].set(a[..., 1])
+        return a2, b2
+
+    for ka, kb in (
+        ("action_alpha", "action_beta"),
+        ("future_action_alpha", "future_action_beta"),
+    ):
+        if ka in batch:
+            out[ka], out[kb] = swap_steer(batch[ka], batch[kb])
+    if "teacher_ctrl_sp" in batch and batch["teacher_ctrl_sp"] is not None:
+        t = batch["teacher_ctrl_sp"]                    # (B, T, 4) = a_acc a_st b_acc b_st
+        out["teacher_ctrl_sp"] = t[..., jnp.asarray([0, 3, 2, 1])]
+
+    # command one-hot: swap left (1) and right (2)
+    if "command" in batch:
+        out["command"] = batch["command"][..., jnp.asarray([0, 2, 1, 3, 4, 5])]
+
+    # per-camera GT maps: mirror horizontally + swap cameras. Stored flat as
+    # (B*N, h, w[, ...]) with N = 4.
+    for key in ("gt_depth", "gt_seg"):
+        if key in batch and batch[key] is not None:
+            g = batch[key]
+            B_N = g.shape[0]
+            g = g.reshape(B_N // 4, 4, *g.shape[1:])
+            g = g[:, _CAM_SWAP, :, ::-1]
+            out[key] = g.reshape(B_N, *g.shape[2:])
+
+    # distillation targets are not mirror-equivariant: gate them off
+    out["distil_weight"] = jnp.zeros(())
+    return out
+
+
+def maybe_mirror(rng, batch: dict) -> dict:
+    """Apply the mirror to the whole batch with p=0.5 (per-batch, keeping
+    shapes static)."""
+    batch = dict(batch)
+    batch.setdefault("distil_weight", jnp.ones(()))
+    do = jax.random.bernoulli(rng)
+    mirrored = mirror_batch(batch)
+    return jax.tree.map(
+        lambda a, b: jnp.where(
+            jnp.reshape(do, (1,) * jnp.ndim(a)), b, a
+        ) if a is not None else None,
+        batch, mirrored,
+    )

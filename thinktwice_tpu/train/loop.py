@@ -142,6 +142,7 @@ def train(
     ckpt_every: int = 500,
     val_batches_fn=None,
     eval_every: int = 500,
+    augment_mirror: bool = False,
 ):
     """Run n_steps of training over the batch stream. Returns TrainState."""
     if params is None:
@@ -156,9 +157,15 @@ def train(
 
     step_fn = make_train_step(cfg, model_loss_fn(cfg, model))
     logf = open(log_path, "a") if log_path else None
+    aug_rng = jax.random.key(cfg.train.seed + 1)
     t0 = time.time()
     for i in range(n_steps):
         batch = next(batches)
+        if augment_mirror:
+            aug_rng, sub = jax.random.split(aug_rng)
+            from thinktwice_tpu.train.augment import maybe_mirror
+
+            batch = maybe_mirror(sub, batch)
         state, metrics = step_fn(state, batch)
         if (i + 1) % log_every == 0 or i == 0:
             host = {
