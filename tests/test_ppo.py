@@ -1,0 +1,68 @@
+"""PPO trainer unit tests (tiny env, one iterate on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thinktwice_tpu.train import ppo as ppo_lib
+from thinktwice_tpu.train.ppo import PPOConfig, make_ppo
+from tests.test_pipeline import TINY, straight_route
+
+
+def test_beta_entropy_uniform():
+    # Beta(1,1) is uniform: differential entropy 0 per dim
+    e = ppo_lib._beta_entropy(jnp.ones((1, 2)), jnp.ones((1, 2)))
+    np.testing.assert_allclose(np.asarray(e), 0.0, atol=1e-4)
+    # concentration reduces entropy
+    e2 = ppo_lib._beta_entropy(jnp.full((1, 2), 8.0), jnp.full((1, 2), 8.0))
+    assert float(e2[0]) < 0.0
+
+
+def test_sample_logp_consistent():
+    rng = jax.random.key(0)
+    a = jnp.full((256, 2), 3.0)
+    b = jnp.full((256, 2), 2.0)
+    act, logp = ppo_lib._beta_sample_and_logp(rng, a, b)
+    assert np.asarray(act).min() >= -1 and np.asarray(act).max() <= 1
+    from thinktwice_tpu.agents.roach import beta_log_prob
+
+    np.testing.assert_allclose(
+        np.asarray(logp), np.asarray(beta_log_prob(act, a, b)), rtol=1e-5
+    )
+
+
+def test_ppo_iterate_runs(town):
+    W = 2
+    routes = jnp.stack([straight_route(), straight_route()])
+    pcfg = PPOConfig(n_envs=W, n_steps=8, n_epochs=1, minibatch=8)
+    init_fn, iterate_fn = make_ppo(TINY, pcfg, town, routes)
+    params, opt_state, env_states = init_fn(jax.random.key(0))
+    p0 = jax.tree.leaves(params)[0].copy()
+    params, opt_state, env_states, m = iterate_fn(
+        params, opt_state, env_states, jax.random.key(1)
+    )
+    for k in ("pg_loss", "v_loss", "entropy", "kl", "mean_reward"):
+        assert np.isfinite(float(m[k])), k
+    # parameters actually updated
+    assert not np.allclose(np.asarray(jax.tree.leaves(params)[0]), np.asarray(p0))
+
+
+def test_reward_penalizes_collision(town):
+    import dataclasses
+
+    from thinktwice_tpu.sim.reset import reset_world
+    from thinktwice_tpu.sim.state import Events
+
+    st = reset_world(TINY, town, straight_route(), jax.random.key(0))
+    ev_none = Events(
+        collision_vehicle=jnp.asarray(False),
+        collision_walker=jnp.asarray(False),
+        collision_static=jnp.asarray(False),
+        red_light=jnp.asarray(False),
+        stop_sign=jnp.asarray(False),
+        route_complete=jnp.asarray(False),
+    )
+    ev_crash = dataclasses.replace(ev_none, collision_vehicle=jnp.asarray(True))
+    r_clean = float(ppo_lib.compute_reward(st, st, ev_none))
+    r_crash = float(ppo_lib.compute_reward(st, st, ev_crash))
+    assert r_crash < r_clean - 10.0
