@@ -242,14 +242,26 @@ def render_birdview_rgb(cfg: BirdviewConfig, masks, ego_extent=None):
     return img
 
 
-def birdview_from_state(cfg: BirdviewConfig, town: TownMap, state: WorldState):
+def birdview_from_state(cfg: BirdviewConfig, town: TownMap, state: WorldState,
+                        use_pallas: bool | None = None):
     """Convenience wrapper: observation for the current WorldState, using the
     upcoming route window from the criteria's route index (route_plan[0:80]
-    in chauffeurnet.get_observation)."""
+    in chauffeurnet.get_observation).
+
+    On TPU the tile-culled Pallas kernel renders the stack (exact parity,
+    ~2.6x faster — ops/birdview_pallas.py); elsewhere the XLA path runs."""
     idx = state.criteria.route_idx
     offs = jnp.arange(cfg.n_route_points)
     win = jnp.clip(idx + offs, 0, state.route.shape[0] - 1)
     route_window = state.route[win, :2]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from thinktwice_tpu.ops.birdview_pallas import render_birdview_pallas
+
+        return render_birdview_pallas(
+            cfg, town, state.ego.pos, state.ego.yaw, state.history, route_window
+        )
     return render_birdview(
         cfg, town, state.ego.pos, state.ego.yaw, state.history, route_window
     )
