@@ -52,9 +52,9 @@ MAX_GRAD_NORM = 0.5
 DESIRED_SPEED = 6.0
 R_SPEED = 0.3          # per-step weight on speed tracking
 R_PROGRESS = 30.0      # per meter of route progress fraction x route len? see below
-P_COLLISION = 15.0
+P_COLLISION = 10.0
 P_RED_LIGHT = 5.0
-P_OFFROAD = 4.0
+P_OFFROAD = 2.0
 P_TERMINAL_BLOCKED = 5.0
 
 
