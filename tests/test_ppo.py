@@ -65,4 +65,4 @@ def test_reward_penalizes_collision(town):
     ev_crash = dataclasses.replace(ev_none, collision_vehicle=jnp.asarray(True))
     r_clean = float(ppo_lib.compute_reward(st, st, ev_none))
     r_crash = float(ppo_lib.compute_reward(st, st, ev_crash))
-    assert r_crash < r_clean - 10.0
+    assert r_crash <= r_clean - ppo_lib.P_COLLISION + 1e-5
