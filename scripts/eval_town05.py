@@ -1,0 +1,179 @@
+"""Closed-loop Driving-Score evaluation on imported Town05 Long.
+
+The reference's headline benchmark (leaderboard/data/routes_for_evaluation/
+routes_town05_long.xml: 10 routes, 120 background vehicles,
+route_scenario.py:492-494) run through the in-graph evaluator on the real
+Town05 map imported from the reference H5 (maps/compile_h5.py).
+
+Scenario triggers: the reference samples them from
+all_towns_traffic_scenarios*.json, which is NOT committed upstream (SURVEY
+§2.9 X4). We derive an equivalent trigger set from the imported map itself:
+junction-crossing scenarios at every signalized approach the route passes,
+plus walker-crossing scenarios on straights between junctions.
+
+Usage:
+  python scripts/eval_town05.py --agent expert [--ckpt runs/roach_ppo/ckpt]
+  python scripts/eval_town05.py --agent student --ckpt runs/student/ckpt
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from thinktwice_tpu.config import Config, SimConfig
+from thinktwice_tpu.harness.evaluator import build_route_scenarios, evaluate_routes
+from thinktwice_tpu.harness.route_parser import ScenarioTrigger, parse_routes_file
+from thinktwice_tpu.maps.compile_h5 import compile_town
+from thinktwice_tpu.train import checkpoint as ckpt_lib
+
+H5 = "/root/reference/roach/obs_manager/birdview/maps/Town05.h5"
+ROUTES = (
+    "/root/reference/leaderboard/data/routes_for_evaluation/"
+    "routes_town05_long.xml"
+)
+
+
+def derive_triggers(town, dense_route, n_walker_triggers=3):
+    """Scenario triggers from the imported map (junction approaches on the
+    route -> signalized-junction crossings; straights -> walker crossings)."""
+    triggers = []
+    tl_pos = np.asarray(town.tl_pos)[np.asarray(town.tl_valid)]
+    tl_yaw = np.asarray(town.tl_yaw)[np.asarray(town.tl_valid)]
+    pts = dense_route[:, :2]
+    for p, y in zip(tl_pos, tl_yaw):
+        d = np.linalg.norm(pts - p[None], axis=1)
+        k = int(np.argmin(d))
+        if d[k] > 8.0:
+            continue
+        # heading along route at the approach must roughly match
+        ryaw = dense_route[k, 2]
+        if abs(np.arctan2(np.sin(ryaw - y), np.cos(ryaw - y))) > 1.0:
+            continue
+        triggers.append(
+            ScenarioTrigger("Scenario7", p.astype(np.float64), np.rad2deg(y))
+        )
+    # walker crossings spread along the route
+    n = len(dense_route)
+    for f in np.linspace(0.2, 0.8, n_walker_triggers):
+        k = int(f * n)
+        triggers.append(
+            ScenarioTrigger(
+                "Scenario3",
+                dense_route[k, :2].astype(np.float64),
+                np.rad2deg(dense_route[k, 2]),
+            )
+        )
+    return triggers
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--agent", choices=["expert", "student"], default="expert")
+    ap.add_argument("--ckpt", default="runs/roach_ppo/ckpt")
+    ap.add_argument("--vehicles", type=int, default=120)
+    ap.add_argument("--routes", type=int, default=10)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--no-scenarios", action="store_true")
+    ap.add_argument("--worlds-per-batch", type=int, default=10)
+    ap.add_argument("--segment", type=int, default=1024)
+    args = ap.parse_args()
+    out = args.out or f"runs/{args.agent}_town05_long.json"
+
+    specs = parse_routes_file(ROUTES)[: args.routes]
+    polylines = [s.dense(spacing=2.0) for s in specs]
+    print(f"compiling Town05 from {len(polylines)} route polylines...")
+    town = compile_town(H5, polylines)
+    n_tl = int(np.asarray(town.tl_valid).sum())
+    print(f"town compiled: {n_tl} traffic lights")
+
+    cfg = Config(
+        sim=SimConfig(
+            max_vehicles=max(args.vehicles + 8, 16),
+            max_walkers=16,
+            max_lights=256,
+            max_stop_signs=32,
+            max_route_len=2304,
+            max_scenarios=8,
+        )
+    )
+
+    routes, ids, scens = [], [], []
+    for s in specs:
+        dense = s.dense(spacing=1.0, max_len=cfg.sim.max_route_len)
+        routes.append(dense)
+        ids.append(f"RouteScenario_{s.route_id}")
+        if args.no_scenarios:
+            scens.append(None)
+        else:
+            trig = derive_triggers(town, dense)
+            scens.append(build_route_scenarios(cfg, dense, trig))
+
+    if args.agent == "expert":
+        from thinktwice_tpu.agents.expert import expert_control
+        from thinktwice_tpu.agents.roach import RoachPolicy
+
+        policy = RoachPolicy()
+        params = policy.init(
+            jax.random.key(0),
+            jnp.zeros((1, cfg.birdview.n_channels, 192, 192)),
+            jnp.zeros((1, cfg.roach.state_dim)),
+        )
+        if os.path.isdir(args.ckpt):
+            params = ckpt_lib.restore_pytree(args.ckpt, params)
+            print(f"loaded expert from {args.ckpt}")
+        else:
+            print("WARNING: random-weight expert")
+
+        def policy_fn(cfg_, town_, state):
+            control, _ = expert_control(cfg, params, town_, state)
+            return control
+
+        policy_init = None
+    else:
+        from thinktwice_tpu.agents.thinktwice_driver import (
+            driver_init,
+            make_thinktwice_driver,
+        )
+        from thinktwice_tpu.train.loop import init_model_params, make_model
+
+        model = make_model(cfg, backbone_depth=50)
+        mparams = init_model_params(cfg, model, jax.random.key(0))
+        mparams = ckpt_lib.restore_pytree(args.ckpt, mparams)
+        print(f"loaded student from {args.ckpt}")
+        drv_policy = make_thinktwice_driver(cfg, model, mparams)
+
+        def policy_fn(cfg_, town_, state, carry):
+            return drv_policy(cfg_, town_, state, carry)
+
+        def policy_init():
+            return driver_init(cfg, model.n_sweeps)
+
+    g = evaluate_routes(
+        cfg, town, routes, ids,
+        policy_fn=policy_fn,
+        policy_init=policy_init,
+        n_vehicles=args.vehicles,
+        worlds_per_batch=args.worlds_per_batch,
+        segment_steps=args.segment,
+        out_path=out,
+        scenarios=scens,
+        verbose=True,
+    )
+    print(json.dumps(g["scores"], indent=2))
+    print(json.dumps(g["infractions"], indent=2))
+    print(f"results -> {out}")
+
+
+if __name__ == "__main__":
+    main()

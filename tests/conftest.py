@@ -3,9 +3,6 @@ TPU hardware (SURVEY.md §4's answer to 'multi-node without a cluster')."""
 
 import os
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +15,10 @@ import jax  # noqa: E402
 # The environment's TPU plugin overrides the JAX_PLATFORMS env var, so force
 # the CPU backend through the config API (before any backend initialization).
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache (env-var spelling is ignored by this jax version)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from thinktwice_tpu.config import Config, SimConfig  # noqa: E402
 from thinktwice_tpu.maps.procedural import make_grid_town  # noqa: E402

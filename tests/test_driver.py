@@ -45,6 +45,43 @@ def test_driver_step(town, driver_setup):
     assert np.isfinite(np.asarray(st.ego.pos)).all()
 
 
+def test_driver_two_sweep_history(town, driver_setup):
+    """2-sweep driver: ring buffer carries the 0.5 s-old frame (VERDICT r1
+    #5 — the reference's 31-frame queue at thinktwice_agent.py:425-444)."""
+    model = make_model(TINY, backbone_depth=10, n_sweeps=2)
+    n_rays = TINY.lidar.n_beams * TINY.lidar.n_azimuth
+    params = init_model_params(
+        TINY, model, jax.random.key(0), n_points=2 * n_rays
+    )
+    st = reset_world(TINY, town, straight_route(), jax.random.key(0))
+    policy = make_thinktwice_driver(TINY, model, params)
+
+    @jax.jit
+    def one(st, drv):
+        ctrl, drv = policy(TINY, town, st, drv)
+        st2, _ = step_world(TINY, town, st, ctrl)
+        return st2, drv, ctrl
+
+    from thinktwice_tpu.agents.thinktwice_driver import HIST_TICKS
+
+    drv = driver_init(TINY, n_sweeps=2)
+    poses = []
+    for _ in range(HIST_TICKS + 2):
+        poses.append(np.asarray(st.ego.pos))
+        st, drv, ctrl = one(st, drv)
+    assert int(drv.tick) == HIST_TICKS + 2
+    # after warmup the ring slot about to be overwritten holds the frame
+    # from exactly HIST_TICKS ago
+    slot = int(drv.tick) % HIST_TICKS
+    np.testing.assert_allclose(
+        np.asarray(drv.pos_ring[0][slot]),
+        poses[int(drv.tick) - HIST_TICKS],
+        atol=1e-5,
+    )
+    c = np.asarray(ctrl)
+    assert np.isfinite(c).all()
+
+
 def test_driver_rollout_scan(town, driver_setup):
     from thinktwice_tpu.agents.thinktwice_driver import rollout_thinktwice
 

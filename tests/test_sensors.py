@@ -106,6 +106,71 @@ def test_lidar_points(small_cfg, town):
     assert near_veh.any()
 
 
+def test_camera_sees_traffic_light(small_cfg, town):
+    """A red light's head must be visible (SEM_TL_RED) from a camera at its
+    stop point looking along the approach heading — the reference gives the
+    student TL color as 3 seg classes (loading.py:96-160); VERDICT r1 #1."""
+    import numpy as np
+    from thinktwice_tpu.maps.town import TL_RED
+
+    tl_pos = np.asarray(town.tl_pos)
+    tl_yaw = np.asarray(town.tl_yaw)
+    valid = np.asarray(town.tl_valid)
+    assert valid.any()
+    i = int(np.argmax(valid))
+    # stand 12 m before the stop point, facing the light
+    yaw = float(tl_yaw[i])
+    pos = tl_pos[i] - 12.0 * np.asarray([np.cos(yaw), np.sin(yaw)])
+
+    st = _state_with_actor(small_cfg, town)
+    veh_pose = jnp.zeros((1, 6))
+    veh_act = jnp.zeros((1,), bool)
+    tl_states = jnp.full(tl_pos.shape[0], TL_RED, jnp.int32)
+    out = render_cameras(
+        CAM, town, jnp.asarray(pos, jnp.float32), jnp.asarray(yaw),
+        veh_pose, veh_act, veh_pose, veh_act, tl_states=tl_states,
+    )
+    front = np.asarray(out["semantic"][0])
+    assert (front == raycast.SEM_TL_RED).any(), np.unique(front)
+    assert (front == raycast.SEM_POLE).any()
+    # green state renders the green class instead
+    out_g = render_cameras(
+        CAM, town, jnp.asarray(pos, jnp.float32), jnp.asarray(yaw),
+        veh_pose, veh_act, veh_pose, veh_act,
+        tl_states=jnp.zeros(tl_pos.shape[0], jnp.int32),
+    )
+    front_g = np.asarray(out_g["semantic"][0])
+    assert (front_g == raycast.SEM_TL_GREEN).any()
+    assert not (front_g == raycast.SEM_TL_RED).any()
+
+
+def test_cameras_from_state_render_lights(small_cfg, town):
+    """The state-driven camera path renders live light fixtures (phase from
+    sim time)."""
+    st = _state_with_actor(small_cfg, town)
+    # park the ego 12 m before the first light, facing it, so the fixture
+    # subtends pixels at this tiny 32x64 resolution
+    i = int(np.argmax(np.asarray(town.tl_valid)))
+    yaw = float(np.asarray(town.tl_yaw)[i])
+    pos = np.asarray(town.tl_pos)[i] - 12.0 * np.asarray(
+        [np.cos(yaw), np.sin(yaw)]
+    )
+    st = dataclasses.replace(
+        st,
+        ego=dataclasses.replace(
+            st.ego, pos=jnp.asarray(pos, jnp.float32), yaw=jnp.asarray(yaw)
+        ),
+    )
+    out = jax.jit(cameras_from_state, static_argnums=0)(CAM, town, st)
+    sem = np.asarray(out["semantic"])
+    tl_any = np.isin(
+        sem,
+        [raycast.SEM_TL_GREEN, raycast.SEM_TL_YELLOW, raycast.SEM_TL_RED,
+         raycast.SEM_POLE],
+    )
+    assert tl_any.any()
+
+
 def test_merge_sweeps_ego_motion():
     # previous sweep observed from 1 m behind: its points shift -1 m in x
     pts_prev = jnp.asarray([[5.0, 0.0, 0.5, 1.0]])

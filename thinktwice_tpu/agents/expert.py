@@ -140,13 +140,14 @@ class Frame:
     control: jax.Array
     target_point: jax.Array     # next sparse route target in ego frame
     route_completion: jax.Array
+    command: jax.Array          # () i32 RoadOption - 1 (train.collect)
     supervision: dict[str, Any]
 
 
 jax.tree_util.register_dataclass(
     Frame,
     data_fields=["pos", "yaw", "speed", "control", "target_point",
-                 "route_completion", "supervision"],
+                 "route_completion", "command", "supervision"],
     meta_fields=[],
 )
 
@@ -193,6 +194,8 @@ def collect_rollout(
             return (st_o, ctrl), None
 
         # record supervision at the *start* of the macro step, then advance
+        from thinktwice_tpu.train.collect import route_command
+
         ctrl_now, sup = expert_control(cfg, params, town, st)
         frame = Frame(
             pos=st.ego.pos,
@@ -201,6 +204,7 @@ def collect_rollout(
             control=ctrl_now,
             target_point=_target_point(st),
             route_completion=st.criteria.route_completion,
+            command=route_command(town, st.route, st.criteria.route_idx),
             supervision=sup,
         )
         (st, held), _ = jax.lax.scan(

@@ -36,6 +36,34 @@ def local_from_world(pos, yaw, pts_world):
     return jnp.einsum("...ij,...nj->...ni", R, pts_world - pos[..., None, :])
 
 
+def sweep_to_key(pos_sweep, yaw_sweep, pos_key, yaw_key):
+    """SE(3) 4x4 mapping sweep-ego coordinates into key-ego coordinates.
+
+    The reference's curr2key ego-motion compensation
+    (carla_dataset.py:290-312, consumed by lss.py:667-687): a point fixed in
+    the world expressed in the sweep frame maps to the same world point
+    expressed in the key frame. x_key = R(yaw_key)^T (R(yaw_sweep) x_sweep +
+    pos_sweep - pos_key); z is untouched. Broadcasts over leading dims.
+    """
+    dyaw = yaw_sweep - yaw_key
+    c, s = jnp.cos(dyaw), jnp.sin(dyaw)
+    dp = pos_sweep - pos_key                                   # world frame
+    ck, sk = jnp.cos(yaw_key), jnp.sin(yaw_key)
+    tx = dp[..., 0] * ck + dp[..., 1] * sk
+    ty = -dp[..., 0] * sk + dp[..., 1] * ck
+    zero = jnp.zeros_like(c)
+    one = jnp.ones_like(c)
+    return jnp.stack(
+        [
+            jnp.stack([c, -s, zero, tx], axis=-1),
+            jnp.stack([s, c, zero, ty], axis=-1),
+            jnp.stack([zero, zero, one, zero], axis=-1),
+            jnp.stack([zero, zero, zero, one], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
 def box_corners(pos, yaw, extent):
     """OBB corners. pos (..., 2), yaw (...,), extent (..., 2) half-sizes ->
     (..., 4, 2) counter-clockwise corners."""

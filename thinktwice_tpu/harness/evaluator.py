@@ -74,7 +74,10 @@ def evaluate_routes(
     town: TownMap,
     routes: Sequence[np.ndarray],       # each (R, 3) dense (x, y, yaw)
     route_ids: Sequence[str],
-    policy_fn: Callable,                # (cfg, town, state) -> (3,) control
+    policy_fn: Callable,                # (cfg, town, state) -> (3,) control,
+                                        # or with policy_init given:
+                                        # (cfg, town, state, carry) ->
+                                        # (control, carry)
     n_vehicles: int = 0,
     max_steps: int | None = None,
     worlds_per_batch: int = 8,
@@ -83,8 +86,16 @@ def evaluate_routes(
     stop_penalty: float = PENALTY_STOP,
     seed: int = 0,
     scenarios: Sequence | None = None,  # optional per-route ScenarioState
+    policy_init: Callable | None = None,  # () -> per-world policy carry
+    segment_steps: int = 1024,
+    verbose: bool = False,
 ) -> dict:
-    """Run every route closed-loop; returns the global statistics record."""
+    """Run every route closed-loop; returns the global statistics record.
+
+    The rollout runs in fixed `segment_steps` scan segments with a host-side
+    early exit once every world in the batch reports criteria.done — routes
+    finish in route-length/speed ticks instead of always burning the full
+    timeout bound, and one compiled program serves every chunk."""
     R = cfg.sim.max_route_len
     done = resume_done_indices(out_path) if (resume and out_path) else set()
     records = []
@@ -102,24 +113,35 @@ def evaluate_routes(
             r = np.concatenate([r, np.repeat(r[-1:], R - len(r), axis=0)])
         padded.append(r)
 
-    def run_batch(routes_b, keys_b, scen_b, n_steps):
-        def one(route, key, scen):
-            st = reset_world(
+    stateful = policy_init is not None
+
+    def init_batch(routes_b, keys_b, scen_b):
+        return jax.vmap(
+            lambda route, key, scen: reset_world(
                 cfg, town, route, key, n_vehicles=n_vehicles, scenario=scen
             )
+        )(routes_b, keys_b, scen_b)
 
+    def run_segment(states, carries):
+        def one(st, pc):
             def body(carry, _):
-                s = carry
-                ctrl = policy_fn(cfg, town, s)
+                s, p = carry
+                if stateful:
+                    ctrl, p = policy_fn(cfg, town, s, p)
+                else:
+                    ctrl = policy_fn(cfg, town, s)
                 s2, _ = step_world(cfg, town, s, ctrl)
-                return s2, None
+                return (s2, p), None
 
-            final, _ = jax.lax.scan(body, st, None, length=n_steps)
-            return final
+            (f, p), _ = jax.lax.scan(
+                body, (st, pc), None, length=segment_steps
+            )
+            return f, p
 
-        return jax.vmap(one)(routes_b, keys_b, scen_b)
+        return jax.vmap(one)(states, carries)
 
-    run_batch_j = jax.jit(run_batch, static_argnums=3)
+    init_j = jax.jit(init_batch)
+    seg_j = jax.jit(run_segment)
 
     from thinktwice_tpu.sim.state import zero_scenarios
 
@@ -148,16 +170,40 @@ def evaluate_routes(
             for i in idxs
         ]
         if max_steps is None:
-            # route timeout bound (0.8 s/m + 5 s at 20 Hz)
+            # route timeout bound (0.8 s/m + 5 s at 20 Hz); the in-sim
+            # timeout criterion fires first, this is just the scan cap
             n_steps = int(
                 (cfg.sim.timeout_per_meter * max(lengths) + cfg.sim.timeout_base)
                 / cfg.sim.dt
-            ) + 10
+            ) + 2 * segment_steps
         else:
             n_steps = max_steps
 
         t0 = time.time()
-        final = run_batch_j(routes_b, keys_b, scen_b, n_steps)
+        states = init_j(routes_b, keys_b, scen_b)
+        if stateful:
+            carries = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[policy_init() for _ in idxs]
+            )
+        else:
+            carries = jnp.zeros((pad_to,))
+        steps_run = 0
+        while steps_run < n_steps:
+            states, carries = seg_j(states, carries)
+            steps_run += segment_steps
+            flags = np.asarray(jax.device_get(states.criteria.done))
+            if verbose:
+                comp = np.asarray(
+                    jax.device_get(states.criteria.route_completion)
+                )
+                print(
+                    f"  seg @{steps_run}: done={int(flags.sum())}/{pad_to} "
+                    f"completion={np.round(comp, 2).tolist()}",
+                    flush=True,
+                )
+            if flags.all():
+                break
+        final = states
         jax.block_until_ready(final.tick)
         wall = time.time() - t0
 
@@ -166,7 +212,9 @@ def evaluate_routes(
             crit_j = jax.tree.map(lambda x: x[j], crit_host)
             rr = RouteResult.from_criteria(
                 route_ids[i], i, crit_j, lengths[j],
-                duration_game_s=n_steps * cfg.sim.dt,
+                # criteria.ticks freezes with the world at done -> real
+                # per-route game duration, not the scan horizon
+                duration_game_s=float(crit_j.ticks) * cfg.sim.dt,
                 duration_system_s=wall / len(chunk),
             )
             records.append(compute_route_statistics(rr, stop_penalty))

@@ -152,8 +152,11 @@ def compute_global_statistics(records: list[dict], total_routes: Optional[int] =
     for rec in records:
         for k in g_scores:
             g_scores[k] += rec["scores"][k]
+        # statistics_manager.py:222 — note the reference keeps score_route as
+        # a percentage here, so "km" is inflated 100x; matched exactly so our
+        # per-km infraction numbers are comparable to reference-produced JSONs
         km = max(
-            rec["scores"]["score_route"] * rec["meta"]["route_length"] / 100.0 / 1000.0,
+            rec["scores"]["score_route"] * rec["meta"]["route_length"] / 1000.0,
             0.001,
         )
         for k in INFRACTION_KEYS:

@@ -174,6 +174,7 @@ class SpatialCrossAttention(nn.Module):
     multi_scale_deformable_attn_function.py:216-345; dense version)."""
 
     dim: int = 256
+    n_heads: int = 8
 
     @nn.compact
     def __call__(self, queries, ref_cam, valid, value_cams, spatial_shapes):
@@ -183,7 +184,7 @@ class SpatialCrossAttention(nn.Module):
         B, N, Q, _ = queries.shape
         q = nn.Dense(self.dim, name="query_proj")(queries)
 
-        attn = MSDeformAttn(self.dim, name="deform_attn")
+        attn = MSDeformAttn(self.dim, n_heads=self.n_heads, name="deform_attn")
         outs = []
         for cam in range(N):  # static unroll over 4 cameras
             o = attn(q[:, cam], ref_cam[:, cam], value_cams[cam], spatial_shapes)
@@ -274,7 +275,7 @@ class LookModule(nn.Module):
             [jnp.broadcast_to(base_q[:, None], (B, N, P * Z, base_q.shape[-1])), sampled],
             axis=-1,
         )
-        img_look = SpatialCrossAttention(256, name="cam_look")(
+        img_look = SpatialCrossAttention(256, m.n_attn_heads, name="cam_look")(
             queries, ref_cam, valid.astype(jnp.float32),
             fpn_value["flat"], spatial_shapes,
         )                                                      # (B, 256)
@@ -458,4 +459,6 @@ class ThinkTwiceDecoder(nn.Module):
             outs["teacher_pred_wp_offset"] = jnp.stack(t_off_wp, axis=1)
             outs["teacher_pred_ctrl_offset"] = jnp.stack(t_off_ctrl, axis=1)
             outs["teacher_future_BEV_feature"] = jnp.stack(t_futures, axis=1)
+            outs["teacher_refine_BEV_feature"] = jnp.stack(t_bevs, axis=1)
+            outs["teacher_refine_flat_feature"] = jnp.stack(t_flats, axis=1)
         return outs

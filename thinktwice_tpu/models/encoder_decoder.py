@@ -60,13 +60,14 @@ class ThinkTwiceModel(nn.Module):
         ego2img,              # (N, 4, 4)
         teacher_wp=None,      # (B, T, 2) GT waypoints (teacher forcing)
         teacher_ctrl_sp=None, # (B, T, 4) GT softplus-space ctrl (alpha, beta)
+        sweep2key=None,       # (B, T_sweeps, 4, 4) ego(t)->ego(key) transforms
     ):
         m = self.cfg
         B = imgs.shape[0]
 
         cam_out = MultiSweepLSS(
             m, self.backbone_depth, self.n_sweeps, name="img_encoder"
-        )(imgs, cam2ego, intrinsics)
+        )(imgs, cam2ego, intrinsics, sweep2key=sweep2key)
         cam_bev = bev_to_bird(cam_out["bev"])                  # (B, 21, 21, 256)
 
         # measurement encoder (:59-64): 1 + 2 + 6 -> 128
@@ -147,6 +148,13 @@ class ThinkTwiceModel(nn.Module):
 def smooth_l1(x):
     ax = jnp.abs(x)
     return jnp.where(ax < 1.0, 0.5 * x * x, ax - 0.5)
+
+
+def clamped_sl1(x, cap: float = 5.0):
+    """Elementwise smooth-L1 clamped at `cap` — the reference's
+    torch.clamp(F.smooth_l1_loss(..., reduction="none"), -5, 5) used by all
+    distillation terms (thinktwice_decoder.py:591-619)."""
+    return jnp.minimum(smooth_l1(x), cap)
 
 
 def beta_kl(a1, b1, a2, b2):
@@ -248,11 +256,62 @@ def decoder_loss(cfg: ModelConfig, outs: dict, batch: dict) -> dict[str, jax.Arr
             distil = distil + w * jnp.mean((pred - gt) ** 2)
         losses["distil_loss"] = dw * distil
 
+        # refine-layer distillation (thinktwice_decoder.py:593-598): every
+        # refine layer's updated BEV is pulled to the Roach 21x21 grid and the
+        # updated flattened feature to the Roach 256-d feature; smooth-L1
+        # clamped at 5 per element like the reference's torch.clamp(..., 5.0)
+        cnn21 = batch["roach_cnn"][0]                          # (B, 21, 21, 32)
+        if "refine_BEV_feature" in outs:
+            losses["refine_BEV_feature_loss"] = (
+                dw * DISTIL_WEIGHTS[0] * jnp.mean(
+                    clamped_sl1(outs["refine_BEV_feature"] - cnn21[:, None])
+                )
+            )
+        if "roach_features" in batch and "refine_flat_feature" in outs:
+            losses["refine_flattened_feature_loss"] = (
+                dw * FEATURES_WEIGHT * 0.1 * jnp.mean(
+                    clamped_sl1(
+                        outs["refine_flat_feature"]
+                        - batch["roach_features"][:, None]
+                    )
+                )
+            )
+
     if "teacher_pred_wp_offset" in outs:
         losses["teacher_offset_loss"] = TEACHER_OFFSET_WEIGHT * (
             jnp.mean(outs["teacher_pred_wp_offset"] ** 2)
             + jnp.mean(outs["teacher_pred_ctrl_offset"] ** 2)
         )
+        # teacher-pass distillation (thinktwice_decoder.py:604-620)
+        if "future_roach_cnn21" in batch and "teacher_future_BEV_feature" in outs:
+            # future-BEV rollouts vs the FUTURE frames' Roach 21x21 grids:
+            # pred (B, R, T, 21, 21, 32), gt (B, T, 21, 21, 32)
+            losses["teacher_future_BEV_feature_loss"] = (
+                dw * DISTIL_WEIGHTS[0] * jnp.mean(
+                    clamped_sl1(
+                        outs["teacher_future_BEV_feature"]
+                        - batch["future_roach_cnn21"][:, None]
+                    )
+                )
+            )
+        if "roach_cnn" in batch and "teacher_refine_BEV_feature" in outs:
+            losses["teacher_refine_BEV_feature_loss"] = (
+                dw * DISTIL_WEIGHTS[0] * jnp.mean(
+                    clamped_sl1(
+                        outs["teacher_refine_BEV_feature"]
+                        - batch["roach_cnn"][0][:, None]
+                    )
+                )
+            )
+        if "roach_features" in batch and "teacher_refine_flat_feature" in outs:
+            losses["teacher_refine_flattened_feature_loss"] = (
+                dw * FEATURES_WEIGHT * jnp.mean(
+                    clamped_sl1(
+                        outs["teacher_refine_flat_feature"]
+                        - batch["roach_features"][:, None]
+                    )
+                )
+            )
 
     # ---- open-loop diagnostic metrics (:549-560; not part of the loss) ----
     act = beta_mode_01(a_p[:, -1], b_p[:, -1]) * 2.0 - 1.0     # final layer

@@ -144,9 +144,12 @@ class LSS(nn.Module):
     backbone_depth: int = 50
 
     @nn.compact
-    def __call__(self, imgs, cam2ego, intrinsics):
+    def __call__(self, imgs, cam2ego, intrinsics, ego2key=None):
         """imgs (B, N, H, W, 3) normalized; cam2ego (N, 4, 4);
-        intrinsics (3, 3) shared."""
+        intrinsics (3, 3) shared; ego2key (B, 4, 4) optional per-sample
+        transform from this sweep's ego frame into the key frame (the
+        reference's curr2key composition, lss.py:667-687) — identity/None for
+        the key sweep."""
         m = self.cfg
         B, N, H, W, _ = imgs.shape
         x = imgs.reshape(B * N, H, W, 3)
@@ -192,15 +195,25 @@ class LSS(nn.Module):
         dp = jnp.moveaxis(dp, -1, 2)                          # (B, N, D, hw)
         ctx = context.reshape(B, N, h * w, m.bev_channels)
 
-        def pool_one(dp_b, ctx_b):
+        def pool_one(geom_b, dp_b, ctx_b):
             return lift_splat_pool(
-                geom_flat, dp_b, ctx_b,
+                geom_b, dp_b, ctx_b,
                 x_min=m.bev_x_min, y_min=m.bev_y_min, cell=cell,
                 nx=m.bev_size, ny=m.bev_size,
                 z_min=-4.0, z_max=10.0,
             )
 
-        bev = jax.vmap(pool_one)(dp, ctx)                     # (B, ny, nx, C)
+        if ego2key is not None:
+            # per-sample ego-motion compensation: frustum points move into
+            # the key ego frame before pooling, so a history sweep's BEV
+            # lands on the same cells as the key sweep's
+            geom_b = (
+                jnp.einsum("bij,ndpj->bndpi", ego2key[:, :3, :3], geom_flat)
+                + ego2key[:, None, None, None, :3, 3]
+            )                                                 # (B, N, D, hw, 3)
+            bev = jax.vmap(pool_one)(geom_b, dp, ctx)
+        else:
+            bev = jax.vmap(lambda d, c: pool_one(geom_flat, d, c))(dp, ctx)
 
         return {
             "bev": bev,
@@ -219,15 +232,25 @@ class MultiSweepLSS(nn.Module):
     n_sweeps: int = 1
 
     @nn.compact
-    def __call__(self, imgs_sweeps, cam2ego, intrinsics):
-        """imgs_sweeps (B, T, N, H, W, 3), T = n_sweeps (newest last)."""
+    def __call__(self, imgs_sweeps, cam2ego, intrinsics, sweep2key=None):
+        """imgs_sweeps (B, T, N, H, W, 3), T = n_sweeps (newest last);
+        sweep2key (B, T, 4, 4) optional per-sweep ego(t)->ego(key)
+        transforms (geometry.sweep_to_key; identity for the key sweep).
+        Without it history sweeps pool into their own ego frame — at 6 m/s
+        that is a ~3 m BEV misalignment, so pass it whenever the ego moves
+        (the reference always does, carla_dataset.py:290-312)."""
         lss = LSS(self.cfg, self.backbone_depth, name="lss")
         out = lss(imgs_sweeps[:, -1], cam2ego, intrinsics)
         if self.n_sweeps > 1:
             bevs = [out["bev"]]
             for t in range(self.n_sweeps - 1):
+                e2k = None if sweep2key is None else sweep2key[:, t]
                 hist = lss(
-                    jax.lax.stop_gradient(imgs_sweeps[:, t]), cam2ego, intrinsics
+                    jax.lax.stop_gradient(imgs_sweeps[:, t]), cam2ego,
+                    intrinsics,
+                    ego2key=None
+                    if e2k is None
+                    else jax.lax.stop_gradient(e2k),
                 )
                 bevs.append(jax.lax.stop_gradient(hist["bev"]))
             merged = jnp.concatenate(bevs, axis=-1)

@@ -152,12 +152,17 @@ def _tile_lists(cfg: BirdviewConfig, prims, valid, ego_pos, ego_yaw):
     # top_k over {0,1} scores with index tiebreak keeps the first K hits
     score = hit.astype(jnp.float32)
     vals, idxs = jax.lax.top_k(score, K_CAP)
-    lists = jnp.where(vals > 0.5, idxs, -1).astype(jnp.int32)
+    live = vals > 0.5
     counts = jnp.minimum(hit.sum(axis=-1), K_CAP).astype(jnp.int32)
-    return lists, counts
+    # gather each tile's primitive ROWS so the kernel's SMEM block is
+    # (K_CAP, 8) per tile instead of the whole (NP, 8) table — at Town05
+    # capacities NP ~ 7.5k rows blows the 1 MB scalar memory
+    tiled = prims[idxs]                                        # (TILES, K, 8)
+    tiled = jnp.where(live[..., None], tiled, 0.0)
+    return tiled, counts
 
 
-def _kernel(prims_ref, lists_ref, counts_ref, ego_ref, out_ref, *,
+def _kernel(prims_ref, counts_ref, ego_ref, out_ref, *,
             width, ev_bottom, ppm):
     i = pl.program_id(0)
     tile = i % TILES
@@ -181,16 +186,13 @@ def _kernel(prims_ref, lists_ref, counts_ref, ego_ref, out_ref, *,
     wy = ey + a * s + b * c
 
     def body(k, bits):
-        idx = lists_ref[0, 0, k]
-        ok = idx >= 0
-        j = jnp.maximum(idx, 0)
-        kind = prims_ref[0, j, 0]
-        p0 = prims_ref[0, j, 1]
-        p1 = prims_ref[0, j, 2]
-        p2 = prims_ref[0, j, 3]
-        p3 = prims_ref[0, j, 4]
-        p4 = prims_ref[0, j, 5]
-        bit = prims_ref[0, j, 6].astype(jnp.int32)
+        kind = prims_ref[0, k, 0]
+        p0 = prims_ref[0, k, 1]
+        p1 = prims_ref[0, k, 2]
+        p2 = prims_ref[0, k, 3]
+        p3 = prims_ref[0, k, 4]
+        p4 = prims_ref[0, k, 5]
+        bit = prims_ref[0, k, 6].astype(jnp.int32)
 
         # segment coverage: distance to segment (p0,p1)-(p2,p3) <= p4
         abx = p2 - p0
@@ -212,9 +214,10 @@ def _kernel(prims_ref, lists_ref, counts_ref, ego_ref, out_ref, *,
 
         # avoid scalar/vector `select` mixes (Mosaic cannot legalize them):
         # pure boolean arithmetic with broadcasting
+        # rows past `counts` are never read (top_k puts live rows first and
+        # the fori_loop is bounded by counts), so no validity flag is needed
         is_box = kind > 0.5
         covered = (box_cov & is_box) | (seg_cov & jnp.logical_not(is_box))
-        covered = covered & ok
         add = jnp.left_shift(jnp.int32(1), bit)
         return bits | (covered.astype(jnp.int32) * add)
 
@@ -229,8 +232,7 @@ def render_birdview_bits(cfg: BirdviewConfig, town: TownMap, ego_pos, ego_yaw,
                          hist, route_window, interpret: bool = False):
     """-> (W, W) int32 bitmask via the Pallas kernel (single world)."""
     prims, valid = _build_primitives(cfg, town, hist, route_window)
-    NP = prims.shape[0]
-    lists, counts = _tile_lists(cfg, prims, valid, ego_pos, ego_yaw)
+    tiled, counts = _tile_lists(cfg, prims, valid, ego_pos, ego_yaw)
     ego = jnp.stack([ego_pos[0], ego_pos[1], ego_yaw, 0.0])
 
     bits = pl.pallas_call(
@@ -240,11 +242,12 @@ def render_birdview_bits(cfg: BirdviewConfig, town: TownMap, ego_pos, ego_yaw,
         ),
         grid=(TILES,),
         in_specs=[
-            # primitive table + per-tile index lists + ego pose live in SMEM:
+            # per-tile gathered primitive rows + counts + ego pose in SMEM:
             # the kernel reads them as scalars at dynamic indices, which VMEM
-            # cannot lower (lane-alignment) but SMEM does natively
-            pl.BlockSpec((1, NP, 8), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, K_CAP), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            # cannot lower (lane-alignment) but SMEM does natively. Gathering
+            # per tile keeps the SMEM block at (K_CAP, 8) regardless of how
+            # many primitives the town has (Town05 ~7.5k rows > 1 MB SMEM)
+            pl.BlockSpec((1, K_CAP, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
@@ -253,7 +256,7 @@ def render_birdview_bits(cfg: BirdviewConfig, town: TownMap, ego_pos, ego_yaw,
         ),
         out_shape=jax.ShapeDtypeStruct((TILES, SUB, LANES), jnp.int32),
         interpret=interpret,
-    )(prims[None], lists[:, None, :], counts[:, None, None], ego[None])
+    )(tiled, counts[:, None, None], ego[None])
 
     img = bits.reshape(N_ROW_TILES, N_COL_TILES, SUB, LANES)
     img = jnp.transpose(img, (0, 2, 1, 3)).reshape(

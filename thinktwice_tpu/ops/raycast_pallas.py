@@ -7,8 +7,9 @@ hundreds of MB of HBM traffic per frame. This kernel tiles rays into VMEM
 boxes with `fori_loop`, and writes only the final (t_min, box_idx) per ray:
 O(R) HBM traffic instead of O(R x N).
 
-Box layout: (N, 8) f32 rows [x, y, yaw, ext_x, ext_y, height, active, pad];
+Box layout: (N, 8) f32 rows [x, y, yaw, ext_x, ext_y, z_top, active, z_base];
 rays as component-planar (P, LANES) blocks so the lane dimension is 128-wide.
+z_base (default 0) supports elevated fixtures like traffic-light heads.
 """
 
 from __future__ import annotations
@@ -50,6 +51,7 @@ def _kernel(boxes_ref, rays_ref, t_ref, idx_ref, *, n_boxes: int):
         ey = boxes_ref[i, 4]
         hz = boxes_ref[i, 5]
         act = boxes_ref[i, 6]
+        z0 = boxes_ref[i, 7]
 
         c = jnp.cos(yaw)
         s = jnp.sin(yaw)
@@ -67,7 +69,7 @@ def _kernel(boxes_ref, rays_ref, t_ref, idx_ref, *, n_boxes: int):
         tx2 = (ex - lx) / ldxs
         ty1 = (-ey - ly) / ldys
         ty2 = (ey - ly) / ldys
-        tz1 = (0.0 - oz) / dzs
+        tz1 = (z0 - oz) / dzs
         tz2 = (hz - oz) / dzs
 
         t_near = jnp.maximum(
@@ -96,8 +98,8 @@ def _kernel(boxes_ref, rays_ref, t_ref, idx_ref, *, n_boxes: int):
 def ray_boxes_pallas(origins, dirs, box_pose, box_active, interpret: bool = False):
     """Drop-in replacement for sensors.raycast.ray_boxes.
 
-    origins/dirs (R, 3); box_pose (N, 6); box_active (N,) ->
-    (t_min (R,), idx (R,)).
+    origins/dirs (R, 3); box_pose (N, 6) or (N, 7) with trailing z_base;
+    box_active (N,) -> (t_min (R,), idx (R,)).
     """
     R = origins.shape[0]
     N = box_pose.shape[0]
@@ -112,11 +114,16 @@ def ray_boxes_pallas(origins, dirs, box_pose, box_active, interpret: bool = Fals
     rays = jnp.concatenate([planar(origins), planar(dirs)], axis=0)
     rays = jnp.transpose(rays, (1, 0, 2, 3))                 # (tiles, 6, S, L)
 
+    z0 = (
+        box_pose[:, 6:7]
+        if box_pose.shape[1] > 6
+        else jnp.zeros((N, 1), box_pose.dtype)
+    )
     boxes = jnp.concatenate(
         [
-            box_pose.astype(jnp.float32),
+            box_pose[:, :6].astype(jnp.float32),
             box_active.astype(jnp.float32)[:, None],
-            jnp.zeros((N, 1), jnp.float32),
+            z0.astype(jnp.float32),
         ],
         axis=-1,
     )                                                        # (N, 8)

@@ -3,8 +3,9 @@
 Produces the student model's inputs and the depth/seg supervision targets in
 one pass: RGB from the semantic palette + lambert shading, depth in meters
 (the reference decodes UE4's RGB-encoded depth, loading.py LoadDepth:88-91 —
-ours is直接 metric), and the semantic ids the seg head trains against
-(loading.py LoadSeg label remap).
+ours is directly metric), and the semantic ids the seg head trains against
+(loading.py LoadSeg label remap), including the 3 traffic-light color classes
+rendered as physical pole+head fixtures (raycast.traffic_light_boxes).
 
 Geometry matches models/rig.py (ideal pinhole, no distortion — the fov-150
 undistortion pipeline D3/X3 exists in the reference only to *undo* UE4's lens
@@ -24,6 +25,7 @@ from thinktwice_tpu.sensors.raycast import (
     WALKER_HEIGHT,
     box_pose_from_state,
     cast_scene,
+    traffic_light_boxes,
 )
 from thinktwice_tpu.sim.state import WorldState
 
@@ -72,9 +74,13 @@ def render_cameras(
     veh_active,
     wlk_pose,
     wlk_active,
+    tl_states=None,  # (NL,) light phases; renders fixtures when given
 ):
     """-> dict rgb (N, H, W, 3) in [0,1], depth (N, H, W) meters along the
     optical axis, semantic (N, H, W) int32."""
+    extra = (None, None, None)
+    if tl_states is not None:
+        extra = traffic_light_boxes(town, tl_states)
     cam_dirs = _pixel_rays(cfg)                            # (H, W, 3) cam frame
     c2e = jnp.asarray(rig_lib.cam_to_ego(cfg))             # (N, 4, 4)
 
@@ -91,7 +97,8 @@ def render_cameras(
         dirs = jnp.einsum("ij,hwj->hwi", R, cam_dirs).reshape(-1, 3)
         origins = jnp.broadcast_to(t, (H * W, 3))
         hit = cast_scene(
-            town, origins, dirs, veh_pose, veh_active, wlk_pose, wlk_active
+            town, origins, dirs, veh_pose, veh_active, wlk_pose, wlk_active,
+            extra_pose=extra[0], extra_active=extra[1], extra_class=extra[2],
         )
         sem = hit["semantic"].reshape(H, W)
         rgb = PALETTE[sem] * hit["shade"].reshape(H, W)[..., None]
@@ -110,6 +117,8 @@ def render_cameras(
 
 
 def cameras_from_state(cfg: CameraConfig, town: TownMap, state: WorldState):
+    from thinktwice_tpu.maps.town import traffic_light_states
+
     veh_pose = box_pose_from_state(
         state.traffic.pos, state.traffic.yaw, state.traffic.extent, VEHICLE_HEIGHT
     )
@@ -119,4 +128,5 @@ def cameras_from_state(cfg: CameraConfig, town: TownMap, state: WorldState):
     return render_cameras(
         cfg, town, state.ego.pos, state.ego.yaw,
         veh_pose, state.traffic.active, wlk_pose, state.walkers.active,
+        tl_states=traffic_light_states(town, state.time_s),
     )

@@ -42,13 +42,16 @@ def ray_ground(origins, dirs):
 def ray_boxes(origins, dirs, box_pose, box_active):
     """Slab test against N upright boxes.
 
-    origins/dirs (R, 3); box_pose (N, 6) = x, y, yaw, ex, ey, height.
-    Returns (t_min (R,), idx (R,)) of the nearest hit (MAX_T / -1 if none).
+    origins/dirs (R, 3); box_pose (N, 6) = x, y, yaw, ex, ey, z_top, or
+    (N, 7) with a trailing z_base column for elevated fixtures (traffic-light
+    heads). Returns (t_min (R,), idx (R,)) of the nearest hit (MAX_T / -1 if
+    none).
     """
     pos = box_pose[:, :2]
     yaw = box_pose[:, 2]
     ext = box_pose[:, 3:5]
     hgt = box_pose[:, 5]
+    z0 = box_pose[:, 6] if box_pose.shape[1] > 6 else jnp.zeros_like(hgt)
 
     c, s = jnp.cos(yaw), jnp.sin(yaw)
     # ray in box frame: rel (R, N, 2)
@@ -68,7 +71,7 @@ def ray_boxes(origins, dirs, box_pose, box_active):
 
     tx1, tx2 = slab(lx, dx, -ext[None, :, 0], ext[None, :, 0])
     ty1, ty2 = slab(ly, dy, -ext[None, :, 1], ext[None, :, 1])
-    tz1, tz2 = slab(lz, dz, jnp.zeros_like(hgt)[None], hgt[None])
+    tz1, tz2 = slab(lz, dz, z0[None], hgt[None])
 
     t_near = jnp.maximum(jnp.maximum(tx1, ty1), tz1)
     t_far = jnp.minimum(jnp.minimum(tx2, ty2), tz2)
@@ -96,13 +99,25 @@ def sample_ground_semantic(town: TownMap, pts_xy):
     )
 
 
+def _pad7(pose):
+    """Pad a (N, 6) box-pose array with a zero z_base column -> (N, 7)."""
+    if pose.shape[-1] >= 7:
+        return pose
+    return jnp.concatenate(
+        [pose, jnp.zeros((pose.shape[0], 1), pose.dtype)], axis=-1
+    )
+
+
 def cast_scene(town: TownMap, origins, dirs, veh_pose, veh_active,
-               wlk_pose, wlk_active, use_pallas: bool | None = None):
+               wlk_pose, wlk_active, use_pallas: bool | None = None,
+               extra_pose=None, extra_active=None, extra_class=None):
     """Full scene intersection.
 
     origins/dirs (R, 3) world frame; veh_pose (V, 6); wlk_pose (W, 6).
-    Returns dict: t (R,) depth along ray, semantic (R,) int32,
-    normal_shade (R,) in [0,1] for simple lambert shading.
+    extra_pose (E, 7) optional classed static boxes (traffic-light poles and
+    state-colored heads — traffic_light_boxes) with per-box semantic ids in
+    extra_class (E,). Returns dict: t (R,) depth along ray, semantic (R,)
+    int32, shade (R,) in [0,1] for simple lambert shading.
 
     On TPU the box intersection runs as the Pallas kernel
     (ops/raycast_pallas.py — bit-identical, ~30x faster at camera scale by
@@ -113,31 +128,37 @@ def cast_scene(town: TownMap, origins, dirs, veh_pose, veh_active,
 
     t_g = ray_ground(origins, dirs)
     V = veh_pose.shape[0]
-    all_pose = jnp.concatenate([veh_pose, wlk_pose], axis=0)
-    all_active = jnp.concatenate([veh_active, wlk_active], axis=0)
+    W = wlk_pose.shape[0]
+    poses = [_pad7(veh_pose), _pad7(wlk_pose)]
+    actives = [veh_active, wlk_active]
+    # per-box semantic class table (box hit -> class via one gather)
+    classes = [
+        jnp.full((V,), SEM_VEHICLE, jnp.int32),
+        jnp.full((W,), SEM_WALKER, jnp.int32),
+    ]
+    if extra_pose is not None:
+        poses.append(_pad7(extra_pose))
+        actives.append(extra_active)
+        classes.append(extra_class.astype(jnp.int32))
+    all_pose = jnp.concatenate(poses, axis=0)
+    all_active = jnp.concatenate(actives, axis=0)
+    class_table = jnp.concatenate(classes, axis=0)
     if use_pallas:
         from thinktwice_tpu.ops.raycast_pallas import ray_boxes_pallas
 
         t_b, idx_b = ray_boxes_pallas(origins, dirs, all_pose, all_active)
     else:
         t_b, idx_b = ray_boxes(origins, dirs, all_pose, all_active)
-    t_v = jnp.where((idx_b >= 0) & (idx_b < V), t_b, MAX_T)
-    t_w = jnp.where(idx_b >= V, t_b, MAX_T)
 
-    t = jnp.minimum(jnp.minimum(t_g, t_v), t_w)
-    any_hit = t < MAX_T
-    hit_v = any_hit & (t_v <= t)
-    hit_w = any_hit & (t_w <= t) & ~hit_v
-    hit_g = any_hit & (t_g <= t) & ~hit_v & ~hit_w
+    hit_box = (idx_b >= 0) & (t_b <= t_g)
+    hit_g = (t_g < MAX_T) & ~hit_box
+    t = jnp.minimum(t_g, t_b)
 
     ground_pts = origins[:, :2] + t_g[:, None] * dirs[:, :2]
     g_sem = sample_ground_semantic(town, ground_pts)
 
-    sem = jnp.where(
-        hit_v,
-        SEM_VEHICLE,
-        jnp.where(hit_w, SEM_WALKER, jnp.where(hit_g, g_sem, SEM_NONE)),
-    )
+    box_sem = class_table[jnp.maximum(idx_b, 0)]
+    sem = jnp.where(hit_box, box_sem, jnp.where(hit_g, g_sem, SEM_NONE))
     # cheap shading: ground lit from above; boxes shaded by view angle
     shade = jnp.where(
         hit_g,
@@ -154,3 +175,55 @@ def box_pose_from_state(pos, yaw, extent, height):
     return jnp.concatenate(
         [pos, yaw[:, None], extent, jnp.full((n, 1), height)], axis=-1
     )
+
+
+# traffic-light fixture geometry (roadside signal: pole + elevated head)
+TL_POLE_OFFSET_M = 3.2      # lateral offset from the stop point to the pole
+TL_POLE_HALF_M = 0.15
+TL_POLE_TOP_M = 4.6
+TL_HEAD_HALF_M = 0.35
+TL_HEAD_BASE_M = 4.6
+TL_HEAD_TOP_M = 5.9
+
+
+def traffic_light_boxes(town: TownMap, tl_states):
+    """Camera-visible traffic-light fixtures -> (pose (2*NL, 7), active,
+    class).
+
+    The reference's student sees traffic-light color as 3 seg classes split
+    out of the camera segmentation (loading.py:96-160, seg classes in
+    configs/thinktwice.py:151-158); CARLA renders the physical fixtures. Here
+    each light becomes a SEM_POLE pole at the right-hand roadside of its stop
+    point plus an elevated head box whose class tracks the live phase
+    (SEM_TL_GREEN/YELLOW/RED) so a camera at the stop line sees the color.
+    """
+    right = jnp.stack([-jnp.sin(town.tl_yaw), jnp.cos(town.tl_yaw)], axis=-1)
+    base = town.tl_pos + TL_POLE_OFFSET_M * right              # (NL, 2)
+    nl = base.shape[0]
+    pole = jnp.concatenate(
+        [
+            base,
+            town.tl_yaw[:, None],
+            jnp.full((nl, 2), TL_POLE_HALF_M),
+            jnp.full((nl, 1), TL_POLE_TOP_M),
+            jnp.zeros((nl, 1)),
+        ],
+        axis=-1,
+    )
+    head = jnp.concatenate(
+        [
+            base,
+            town.tl_yaw[:, None],
+            jnp.full((nl, 2), TL_HEAD_HALF_M),
+            jnp.full((nl, 1), TL_HEAD_TOP_M),
+            jnp.full((nl, 1), TL_HEAD_BASE_M),
+        ],
+        axis=-1,
+    )
+    pose = jnp.concatenate([pole, head], axis=0)               # (2NL, 7)
+    active = jnp.concatenate([town.tl_valid, town.tl_valid])
+    head_class = SEM_TL_GREEN + tl_states.astype(jnp.int32)    # 0/1/2 -> 8/9/10
+    cls = jnp.concatenate(
+        [jnp.full((nl,), SEM_POLE, jnp.int32), head_class]
+    )
+    return pose, active, cls

@@ -174,6 +174,7 @@ def update_criteria(
         timeout=crit.timeout | timeout,
         finished=new_finished,
         done=done,
+        ticks=crit.ticks + 1,
     )
     events = Events(
         collision_vehicle=ev_veh,

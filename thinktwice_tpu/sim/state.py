@@ -87,6 +87,9 @@ class CriteriaState:
     timeout: jax.Array               # () bool terminal
     finished: jax.Array              # () bool route completed
     done: jax.Array                  # () bool any terminal condition
+    ticks: jax.Array                 # () i32 criteria updates seen; freezes at
+                                     # done (world freeze), so final value is
+                                     # the route's real game duration in ticks
 
 
 @jax.tree_util.register_dataclass
@@ -180,6 +183,7 @@ def zero_criteria(cfg: Config, n_lights: int | None = None, n_stops: int | None 
         timeout=zb,
         finished=zb,
         done=zb,
+        ticks=z32,
     )
 
 

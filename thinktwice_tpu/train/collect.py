@@ -59,6 +59,7 @@ def collect_batch(
             control=ctrl_now,
             target_point=_target_point(st),
             route_completion=st.criteria.route_completion,
+            command=route_command(town, st.route, st.criteria.route_idx),
             supervision=sup,
         )
         sensors = {
@@ -101,14 +102,61 @@ def _rotate_into(yaw, vec):
 
 
 def command_onehot(target_point):
-    """Coarse command from the ego-frame target point: 0 follow, 1 left,
-    2 right, 3 straight (one-hot over 6 like the reference's command vector,
-    carla_dataset get_data_info)."""
+    """Fallback command from the ego-frame target point when no route
+    context is available. Classes use the REFERENCE indexing
+    (carla_dataset.py:155-165, RoadOption - 1): 0 LEFT, 1 RIGHT, 2 STRAIGHT,
+    3 LANEFOLLOW, 4 CHANGELANELEFT, 5 CHANGELANERIGHT."""
     angle = jnp.arctan2(target_point[..., 1], target_point[..., 0])
     cmd = jnp.where(
-        angle < -0.3, 1, jnp.where(angle > 0.3, 2, 0)
+        angle < -0.3, 0, jnp.where(angle > 0.3, 1, 3)
     )
     return jax.nn.one_hot(cmd, 6)
+
+
+# reference command classes (global_route_planner.py RoadOption - 1)
+CMD_LEFT, CMD_RIGHT, CMD_STRAIGHT = 0, 1, 2
+CMD_LANEFOLLOW, CMD_CHANGELEFT, CMD_CHANGERIGHT = 3, 4, 5
+
+
+def route_command(town: TownMap, route, route_idx, lookahead_pts: int = 35):
+    """6-way RoadOption command class from the route geometry ahead
+    (≡ the A* planner's turn decisions, global_route_planner.py:20-387,
+    consumed as measurements['target_command']).
+
+    Heading change over the next ~35 m classifies turns; small heading
+    change with large lateral displacement classifies lane changes; small
+    change near a signalized junction is STRAIGHT; else LANEFOLLOW.
+    Returns a () int32 class in the reference indexing (RoadOption - 1).
+    """
+    R = route.shape[0]
+    j = jnp.clip(route_idx + lookahead_pts, 0, R - 1)
+    mid = jnp.clip(route_idx + lookahead_pts // 2, 0, R - 1)
+    hdg0 = route[route_idx, 2]
+    hdg1 = route[j, 2]
+    dh = jnp.arctan2(jnp.sin(hdg1 - hdg0), jnp.cos(hdg1 - hdg0))
+    rel = route[j, :2] - route[route_idx, :2]
+    # lateral displacement in the frame of the current route heading
+    lat = -jnp.sin(hdg0) * rel[0] + jnp.cos(hdg0) * rel[1]
+    d_junction = jnp.min(
+        jnp.where(
+            town.tl_valid,
+            jnp.linalg.norm(town.tl_pos - route[mid, :2][None], axis=-1),
+            1e9,
+        )
+    )
+    turning = jnp.abs(dh) > 0.35
+    changing = (~turning) & (jnp.abs(dh) < 0.15) & (jnp.abs(lat) > 2.5)
+    near_junction = d_junction < 15.0
+    cmd = jnp.where(
+        turning,
+        jnp.where(dh < 0, CMD_LEFT, CMD_RIGHT),
+        jnp.where(
+            changing,
+            jnp.where(lat < 0, CMD_CHANGELEFT, CMD_CHANGERIGHT),
+            jnp.where(near_junction, CMD_STRAIGHT, CMD_LANEFOLLOW),
+        ),
+    )
+    return cmd.astype(jnp.int32)
 
 
 def frames_to_batch(cfg: Config, frames: Frame, sensors: dict,
@@ -136,26 +184,45 @@ def frames_to_batch(cfg: Config, frames: Frame, sensors: dict,
 
     sup = frames.supervision
     alpha, beta = sup["alpha"], sup["beta"]
-    # only_ap_brake override: alpha=0.8... reference maps mu=[0.8,...]? It
-    # overwrites action_mu/sigma with braking-prior values
-    # (carla_dataset.py:178-196: mu -> [0.8, 5.5]-style constants); we use a
-    # Beta strongly favoring brake: alpha=(1, 1), beta=(5.5, 1) on (acc, steer)
-    brake_alpha = jnp.asarray([1.0, 1.0])
-    brake_beta = jnp.asarray([5.5, 1.0])
-    oab = sup["only_ap_brake"][:, None]
-    alpha = jnp.where(oab, brake_alpha[None], alpha)
-    beta = jnp.where(oab, brake_beta[None], beta)
+    # only_ap_brake override (carla_dataset.py:178-196): the accel dim's Beta
+    # params become (0.8, 5.5) — a braking prior — while the steering dim
+    # keeps Roach's values
+    oab = sup["only_ap_brake"]
+    alpha = alpha.at[:, 0].set(jnp.where(oab, 0.8, alpha[:, 0]))
+    beta = beta.at[:, 0].set(jnp.where(oab, 5.5, beta[:, 0]))
 
     fut_a, fut_b = [], []
     for k in range(1, pred_len):
         fut_a.append(alpha[idx + k])
         fut_b.append(beta[idx + k])
 
+    # future-frame Roach 21x21 grids (frames i+1..i+pred_len) — targets for
+    # teacher_future_BEV_feature_loss (thinktwice_decoder.py:604-612)
+    cnn21 = jnp.moveaxis(sup["cnn_features"][0], 1, -1)        # (F, 21, 21, 32)
+    future_cnn21 = jnp.stack(
+        [cnn21[idx + k] for k in range(1, pred_len + 1)], axis=1
+    )                                                          # (n, T, 21, 21, 32)
+
     sweep_rgb = [
         sensors["rgb"][idx - (n_sweeps - 1 - t)] for t in range(n_sweeps)
     ]                                                      # oldest first
     rgb = jnp.stack(sweep_rgb, axis=1)                     # (n, T_sw, N, H, W, 3)
     imgs = (rgb - IMAGENET_MEAN) / IMAGENET_STD
+
+    # per-sweep ego(t)->ego(key) transforms for camera ego-motion
+    # compensation (geometry.sweep_to_key ≡ curr2key, carla_dataset:290-312)
+    from thinktwice_tpu.geometry import sweep_to_key
+
+    sweep2key = jnp.stack(
+        [
+            sweep_to_key(
+                pos[idx - (n_sweeps - 1 - t)], yaw[idx - (n_sweeps - 1 - t)],
+                pos[idx], yaw[idx],
+            )
+            for t in range(n_sweeps)
+        ],
+        axis=1,
+    )                                                      # (n, T_sw, 4, 4)
 
     if n_sweeps >= 2:
         from thinktwice_tpu.sensors.lidar import merge_sweeps
@@ -174,11 +241,12 @@ def frames_to_batch(cfg: Config, frames: Frame, sensors: dict,
 
     batch = {
         "imgs": imgs,
+        "sweep2key": sweep2key,
         "points": points,
         "points_mask": points_mask,
         "speed": frames.speed[idx],
         "target_point": frames.target_point[idx],
-        "command": command_onehot(frames.target_point[idx]),
+        "command": jax.nn.one_hot(frames.command[idx], 6),
         "gt_waypoints": gt_wp,
         "action_alpha": alpha[idx],
         "action_beta": beta[idx],
@@ -190,6 +258,7 @@ def frames_to_batch(cfg: Config, frames: Frame, sensors: dict,
         "roach_cnn": tuple(
             jnp.moveaxis(g[idx], 1, -1) for g in sup["cnn_features"]
         ),  # NCHW -> NHWC
+        "future_roach_cnn21": future_cnn21,
         "gt_depth": sensors["depth"][idx].reshape(
             -1, *sensors["depth"].shape[2:]
         ),

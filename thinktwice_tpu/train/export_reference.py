@@ -47,6 +47,32 @@ def export_route(
            if k != "cnn_features"}
     cnn = [np.asarray(g) for g in frames.supervision["cnn_features"]]
 
+    # world-frame kinematics for the reference measurement schema
+    # (roach_ap_agent save():607-626). Frames are 2 Hz, so acceleration /
+    # angular velocity come from finite differences at that cadence.
+    fwd = np.stack([np.cos(yaw), np.sin(yaw)], axis=-1)
+    vel = speed[:, None] * fwd                              # (F, 2) world
+    dt = 0.5
+    accel = np.gradient(vel, dt, axis=0)
+    yaw_unwrapped = np.unwrap(yaw)
+    yaw_rate = np.gradient(yaw_unwrapped, dt)
+    # target point back to world frame: frames carry it ego-relative
+    c, s = np.cos(yaw), np.sin(yaw)
+    target_world = pos + np.stack(
+        [target[:, 0] * c - target[:, 1] * s,
+         target[:, 0] * s + target[:, 1] * c], axis=-1,
+    )
+    # RoadOption ints (global_route_planner.py RoadOption: LEFT=1 ..
+    # CHANGELANERIGHT=6). Frames carry the 0-5 class (train.collect
+    # route_command = RoadOption - 1); the reference JSON stores the raw int.
+    if hasattr(frames, "command"):
+        target_command = np.asarray(frames.command).astype(int) + 1
+    else:
+        bearing = np.arctan2(target[:, 1], target[:, 0])
+        target_command = np.where(
+            bearing < -0.3, 1, np.where(bearing > 0.3, 2, 4)
+        ).astype(int)
+
     for i in range(F):
         tag = f"{i:04d}"
         for c, cam in enumerate(CAMERAS):
@@ -65,13 +91,23 @@ def export_route(
             os.path.join(out_dir, "lidar", tag + ".npy"),
             lidar[i][lidar_mask[i]],
         )
+        # Convention note: the reference's CarlaDataset swaps axes and
+        # subtracts pi/2 from theta (carla_dataset.py:120-125). Writing our
+        # world (x, y, theta) raw makes those transforms cancel exactly:
+        # R(theta-pi/2)^T R(-pi/2) = R(theta)^T, so the ego-frame waypoints /
+        # target points it computes equal ours (tests/test_export_roundtrip).
         meas = {
             "x": float(pos[i, 0]),
             "y": float(pos[i, 1]),
             "theta": float(yaw[i]),
             "speed": float(speed[i]),
+            "acceleration": [float(accel[i, 0]), float(accel[i, 1]), 0.0],
+            "angular_velocity": [0.0, 0.0, float(yaw_rate[i])],
+            "x_target": float(target_world[i, 0]),
+            "y_target": float(target_world[i, 1]),
+            "target_command": int(target_command[i]),
             "target_point": target[i].tolist(),
-            "command": 0,
+            "command": int(target_command[i]),
             "steer": float(control[i, 0]),
             "throttle": float(control[i, 1]),
             "brake": float(control[i, 2]),

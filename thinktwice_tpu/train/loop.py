@@ -52,6 +52,7 @@ def model_loss_fn(cfg: Config, model: ThinkTwiceModel):
             batch["speed"], batch["target_point"], batch["command"],
             c2e, K, e2i,
             batch.get("teacher_wp"), batch.get("teacher_ctrl_sp"),
+            sweep2key=batch.get("sweep2key"),
         )
         return total_loss(cfg.model, outs, batch)
 
@@ -89,20 +90,25 @@ def collect_stream(
     """Infinite stream of training batches from in-graph expert rollouts.
 
     Each yield collects `frames_per_chunk` frames from one rolling world and
-    converts them to (frames_per_chunk - pred_len) examples. Worlds reset
-    round-robin when done."""
+    converts them to (frames_per_chunk - pred_len) examples. The world state
+    persists across chunks (so mid- and late-route data is collected); a
+    world only resets — onto the next route, round-robin — once its criteria
+    report done (terminal or route finished)."""
     collect_j = jax.jit(collect_batch, static_argnums=(0, 4))
     w = 0
+    st = None
     while True:
-        rng, sub = jax.random.split(rng)
-        st = reset_world(
-            cfg, town, routes[w % routes.shape[0]], sub, n_vehicles=n_vehicles
-        )
-        final, frames, sensors = collect_j(
+        if st is None or bool(st.criteria.done):
+            rng, sub = jax.random.split(rng)
+            st = reset_world(
+                cfg, town, routes[w % routes.shape[0]], sub,
+                n_vehicles=n_vehicles,
+            )
+            w += 1
+        st, frames, sensors = collect_j(
             cfg, roach_params, town, st, frames_per_chunk
         )
         yield frames_to_batch(cfg, frames, sensors, cfg.model.pred_len)
-        w += 1
 
 
 def make_eval_fn(cfg: Config, model: ThinkTwiceModel):

@@ -136,10 +136,12 @@ class PPOConfig:
     minibatch: int = 256
     lr: float = 1e-4
     seed: int = 0
+    n_vehicles: int = 0         # background traffic per world
 
 
 def make_ppo(cfg: Config, ppo_cfg: PPOConfig, town: TownMap, routes):
-    """routes: (n_envs, R, 3). Returns (init_fn, iterate_fn).
+    """routes: (NR, R, 3) route bank — every env reset samples a random route
+    from it (NR need not equal n_envs). Returns (init_fn, iterate_fn).
 
     init_fn(rng) -> (params, opt_state, env_states)
     iterate_fn(params, opt_state, env_states, rng) ->
@@ -162,8 +164,16 @@ def make_ppo(cfg: Config, ppo_cfg: PPOConfig, town: TownMap, routes):
         bv = birdview_from_state(cfg.birdview, town, state)
         return bv, state_vector(state)
 
+    NR = routes.shape[0]
+
     def reset_env(i, rng):
-        return reset_world(cfg, town, routes[i], rng, n_vehicles=0)
+        rk, rr = jax.random.split(rng)
+        # sample a route from the bank; fold the env id in so same-step
+        # resets across envs draw different routes
+        idx = jax.random.randint(jax.random.fold_in(rk, i), (), 0, NR)
+        return reset_world(
+            cfg, town, routes[idx], rr, n_vehicles=ppo_cfg.n_vehicles
+        )
 
     def maybe_reset(state, rng, env_idx):
         done = state.criteria.done
