@@ -87,6 +87,9 @@ def main():
     ap.add_argument("--no-scenarios", action="store_true")
     ap.add_argument("--worlds-per-batch", type=int, default=10)
     ap.add_argument("--segment", type=int, default=1024)
+    ap.add_argument("--sweeps", type=int, default=2,
+                    help="student model n_sweeps (must match training)")
+    ap.add_argument("--backbone", type=int, default=50)
     args = ap.parse_args()
     out = args.out or f"runs/{args.agent}_town05_long.json"
 
@@ -108,11 +111,12 @@ def main():
         )
     )
 
-    routes, ids, scens = [], [], []
+    routes, ids, scens, weathers = [], [], [], []
     for s in specs:
         dense = s.dense(spacing=1.0, max_len=cfg.sim.max_route_len)
         routes.append(dense)
         ids.append(f"RouteScenario_{s.route_id}")
+        weathers.append(s.weather)
         if args.no_scenarios:
             scens.append(None)
         else:
@@ -147,7 +151,8 @@ def main():
         )
         from thinktwice_tpu.train.loop import init_model_params, make_model
 
-        model = make_model(cfg, backbone_depth=50)
+        model = make_model(cfg, backbone_depth=args.backbone,
+                           n_sweeps=args.sweeps)
         mparams = init_model_params(cfg, model, jax.random.key(0))
         mparams = ckpt_lib.restore_pytree(args.ckpt, mparams)
         print(f"loaded student from {args.ckpt}")
@@ -168,10 +173,14 @@ def main():
         segment_steps=args.segment,
         out_path=out,
         scenarios=scens,
+        weathers=weathers,
         verbose=True,
     )
+    from thinktwice_tpu.harness.result_writer import print_results
+    from thinktwice_tpu.harness.statistics import load_results
+
+    print_results(load_results(out))
     print(json.dumps(g["scores"], indent=2))
-    print(json.dumps(g["infractions"], indent=2))
     print(f"results -> {out}")
 
 

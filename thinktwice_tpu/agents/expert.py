@@ -58,24 +58,40 @@ def state_vector(state: WorldState) -> jax.Array:
 
 
 def hazard_brake(cfg: Config, state: WorldState) -> jax.Array:
-    """Geometric emergency-brake rule (roach_ap_agent:519-569): brake if a
-    vehicle sits in the ego's forward corridor or a walker is near the
-    forecast path. Returns () bool."""
+    """Emergency-brake rule with ego+actor motion forecast
+    (roach_ap_agent _is_vehicle_hazard:536-569, _is_walker_hazard:519-534):
+    both the ego and every actor are extrapolated along their current
+    velocity over a ~2 s horizon; brake when any forecast separation drops
+    below the safety margin ahead of the ego. This catches crossing walkers
+    the round-1 static corridor test braked too late for. Returns () bool."""
     ego = state.ego
     fwd = jnp.stack([jnp.cos(ego.yaw), jnp.sin(ego.yaw)])
-    right = jnp.stack([-jnp.sin(ego.yaw), jnp.cos(ego.yaw)])
-    horizon = jnp.maximum(ego.speed * 2.0, 8.0)
+    ego_v = fwd * jnp.maximum(ego.speed, 2.0)        # floor: creeping forecast
 
-    def in_corridor(pos, active, lat_margin):
-        rel = pos - ego.pos[None]
+    ts = jnp.asarray([0.0, 0.5, 1.0, 1.5, 2.0])
+    ego_t = ego.pos[None, :] + ts[:, None] * ego_v[None, :]   # (T, 2)
+
+    right = jnp.stack([-jnp.sin(ego.yaw), jnp.cos(ego.yaw)])
+
+    def forecast_hit(pos, yaw, speed, active, margin_along, margin_lat):
+        vel = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)], axis=-1) * speed[:, None]
+        act_t = pos[None, :, :] + ts[:, None, None] * vel[None, :, :]  # (T,A,2)
+        rel = act_t - ego_t[:, None, :]
+        # anisotropic margin in the ego's frame so adjacent-lane and
+        # oncoming traffic (lateral ~3.5 m) does not phantom-brake
         along = rel @ fwd
         lat = jnp.abs(rel @ right)
-        return jnp.any(
-            (along > 0.0) & (along < horizon) & (lat < lat_margin) & active
-        )
+        hit = (along > -1.0) & (along < margin_along) & (lat < margin_lat)
+        return jnp.any(hit & active[None, :])
 
-    veh = in_corridor(state.traffic.pos, state.traffic.active, 2.5)
-    wlk = in_corridor(state.walkers.pos, state.walkers.active, 3.5)
+    veh = forecast_hit(
+        state.traffic.pos, state.traffic.yaw, state.traffic.speed,
+        state.traffic.active, 6.0, 2.0,
+    )
+    wlk = forecast_hit(
+        state.walkers.pos, state.walkers.yaw, state.walkers.speed,
+        state.walkers.active, 5.0, 2.2,
+    )
     return veh | wlk
 
 

@@ -46,18 +46,24 @@ def build_route_scenarios(cfg: Config, dense_route: np.ndarray, triggers):
         kind = SCENARIO_NAME_TO_KIND.get(t.scenario_type, 0)
         if kind == 0:
             continue
+        p3 = 0.0
         if kind in (1,):                     # walker actor
             actor = w_slot % cfg.sim.max_walkers
             w_slot += 1
-        elif kind in (3, 4, 5):              # vehicle actor
+        elif kind in (3, 4, 5, 6):           # one vehicle actor
             actor = v_slot
+            v_slot = max(v_slot - 1, 0)
+        elif kind == 7:                      # lead + blocker (two slots)
+            actor = v_slot
+            v_slot = max(v_slot - 1, 0)
+            p3 = float(v_slot)               # blocker slot in param[3]
             v_slot = max(v_slot - 1, 0)
         else:                                # ego-only (control loss)
             actor = 0
         kinds.append(kind)
         poss.append(t.pos)
         actors.append(actor)
-        params.append([15.0, np.deg2rad(t.yaw_deg), 0.0, 0.0])
+        params.append([15.0, np.deg2rad(t.yaw_deg), 0.0, p3])
     if not kinds:
         return None
     return make_scenarios(
@@ -89,6 +95,7 @@ def evaluate_routes(
     policy_init: Callable | None = None,  # () -> per-world policy carry
     segment_steps: int = 1024,
     verbose: bool = False,
+    weathers: Sequence | None = None,   # optional per-route (10,) params
 ) -> dict:
     """Run every route closed-loop; returns the global statistics record.
 
@@ -115,12 +122,13 @@ def evaluate_routes(
 
     stateful = policy_init is not None
 
-    def init_batch(routes_b, keys_b, scen_b):
+    def init_batch(routes_b, keys_b, scen_b, weather_b):
         return jax.vmap(
-            lambda route, key, scen: reset_world(
-                cfg, town, route, key, n_vehicles=n_vehicles, scenario=scen
+            lambda route, key, scen, wth: reset_world(
+                cfg, town, route, key, n_vehicles=n_vehicles, scenario=scen,
+                weather=wth,
             )
-        )(routes_b, keys_b, scen_b)
+        )(routes_b, keys_b, scen_b, weather_b)
 
     def run_segment(states, carries):
         def one(st, pc):
@@ -164,6 +172,21 @@ def evaluate_routes(
         scen_b = jax.tree.map(
             lambda *xs: jnp.stack(xs), *[scen_list[i] for i in idxs]
         )
+        from thinktwice_tpu.sim.weather import DEFAULT as WEATHER_DEFAULT
+
+        weather_b = jnp.asarray(
+            np.stack(
+                [
+                    (
+                        weathers[i]
+                        if weathers is not None and weathers[i] is not None
+                        else WEATHER_DEFAULT
+                    )
+                    for i in idxs
+                ]
+            ),
+            jnp.float32,
+        )
 
         lengths = [
             float(np.linalg.norm(np.diff(padded[i][:, :2], axis=0), axis=1).sum())
@@ -180,7 +203,7 @@ def evaluate_routes(
             n_steps = max_steps
 
         t0 = time.time()
-        states = init_j(routes_b, keys_b, scen_b)
+        states = init_j(routes_b, keys_b, scen_b, weather_b)
         if stateful:
             carries = jax.tree.map(
                 lambda *xs: jnp.stack(xs), *[policy_init() for _ in idxs]

@@ -26,6 +26,7 @@ class RouteSpec:
     town: str
     keypoints: np.ndarray      # (K, 2) x, y
     keypoint_yaws: np.ndarray  # (K,) degrees
+    weather: np.ndarray | None = None  # (10,) sim.weather params
 
     def dense(self, spacing: float = 1.0, max_len: int | None = None) -> np.ndarray:
         """(N, 3) dense (x, y, yaw_rad)."""
@@ -33,7 +34,10 @@ class RouteSpec:
 
 
 def parse_routes_file(path: str, route_id_filter: str | None = None) -> list[RouteSpec]:
-    """Route XML -> list of RouteSpec (≡ RouteParser.parse_routes_file)."""
+    """Route XML -> list of RouteSpec (≡ RouteParser.parse_routes_file,
+    incl. per-route weather parsing, route_parser.py:84,100-138)."""
+    from thinktwice_tpu.sim.weather import parse_weather_elem
+
     tree = ET.parse(path)
     routes = []
     for route in tree.iter("route"):
@@ -51,6 +55,7 @@ def parse_routes_file(path: str, route_id_filter: str | None = None) -> list[Rou
                 town=town,
                 keypoints=np.asarray(pts, np.float64),
                 keypoint_yaws=np.asarray(yaws, np.float64),
+                weather=parse_weather_elem(route),
             )
         )
     return routes
@@ -116,8 +121,8 @@ SCENARIO_NAME_TO_KIND = {
     "Scenario1": 2,   # ControlLoss
     "Scenario2": 3,   # FollowLeadingVehicle (lead brakes)
     "Scenario3": 1,   # DynamicObjectCrossing (walker darts out)
-    "Scenario4": 4,   # VehicleTurningRoute -> crossing vehicle at junction
-    "Scenario5": 3,   # OtherLeadingVehicle
+    "Scenario4": 6,   # VehicleTurningRoute (cyclist crosses the turn)
+    "Scenario5": 7,   # OtherLeadingVehicle (slow lead + blocked overtake)
     "Scenario6": 5,   # ManeuverOppositeDirection -> oncoming vehicle
     "Scenario7": 4,   # SignalJunctionCrossingRoute
     "Scenario8": 4,   # NoSignalJunctionCrossingRoute

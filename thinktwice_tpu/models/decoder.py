@@ -118,16 +118,23 @@ class PredictionModule(nn.Module):
         return future
 
 
-def project_to_cams(points3d, ego2img, img_hw):
+def project_to_cams(points3d, ego2img, img_hw, ida=None):
     """points3d (B, Q, 3) ego frame; ego2img (N, 4, 4) -> normalized cam
     coords (B, N, Q, 2) in [0,1] and validity mask (B, N, Q)
-    (LookModule.obtain_cam_ref_points_query:103-135 without rebatching)."""
+    (LookModule.obtain_cam_ref_points_query:103-135 without rebatching).
+    With `ida` (B, N, 4, 4) the projected pixels map into augmented image
+    space (the reference composes coor2img = [lidar2img, ida_mat])."""
     B, Q, _ = points3d.shape
     hom = jnp.concatenate([points3d, jnp.ones((B, Q, 1))], axis=-1)
     proj = jnp.einsum("nij,bqj->bnqi", ego2img, hom)           # (B, N, Q, 4)
     eps = 1e-5
     z = proj[..., 2:3]
     xy = proj[..., 0:2] / jnp.maximum(z, eps)
+    if ida is not None:
+        xy = (
+            jnp.einsum("bnij,bnqj->bnqi", ida[..., :2, :2], xy)
+            + ida[..., None, :2, 3]
+        )
     u = xy[..., 0] / img_hw[1]
     v = xy[..., 1] / img_hw[0]
     valid = (
@@ -210,7 +217,7 @@ class LookModule(nn.Module):
     @nn.compact
     def __call__(self, wp, ctrl_sp, measurement, flat_feat, ego2img,
                  fpn_value, spatial_shapes, temporal_emb, static_emb,
-                 lidar_hr=None):
+                 lidar_hr=None, ida=None):
         m = self.cfg
         B, T, _ = wp.shape
         Z = m.n_z_anchors
@@ -254,7 +261,7 @@ class LookModule(nn.Module):
         )                                                      # (B, PZ, 519)
 
         ref_cam, valid = project_to_cams(
-            pts3d, ego2img, (m.img_height, m.img_width)
+            pts3d, ego2img, (m.img_height, m.img_width), ida=ida
         )                                                      # (B, N, PZ, ...)
         N = ref_cam.shape[1]
 
@@ -321,7 +328,7 @@ class DecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, bev32, wp, ctrl, prev_future, measurement, flat_feat,
                  ego2img, fpn_value, spatial_shapes, temporal_emb, static_emb,
-                 pyramid: Any, lidar_hr=None):
+                 pyramid: Any, lidar_hr=None, ida=None):
         m = self.cfg
         B, T = wp.shape[0], wp.shape[1]
         ctrl_sp = nn.softplus(ctrl)
@@ -336,7 +343,7 @@ class DecoderLayer(nn.Module):
 
         look = LookModule(m, self.use_lidar_look, name="look")(
             wp, ctrl_sp, measurement, flat_feat, ego2img, fpn_value,
-            spatial_shapes, temporal_emb, static_emb, lidar_hr,
+            spatial_shapes, temporal_emb, static_emb, lidar_hr, ida,
         )                                                      # (B, T, 512)
 
         x = jnp.concatenate(
@@ -375,7 +382,8 @@ class ThinkTwiceDecoder(nn.Module):
     def __call__(self, flat_feat, bev32, measurement, ego2img, fpn_value,
                  spatial_shapes, pyramid, lidar_hr=None,
                  teacher_wp: Optional[jax.Array] = None,
-                 teacher_ctrl_sp: Optional[jax.Array] = None):
+                 teacher_ctrl_sp: Optional[jax.Array] = None,
+                 ida=None):
         """Returns outs dict (keys mirror thinktwice_decoder.forward)."""
         m = self.cfg
         B = flat_feat.shape[0]
@@ -425,7 +433,7 @@ class ThinkTwiceDecoder(nn.Module):
                 dwp, dct, future, bev, flat = layer(
                     bev, wp_c, ct_c, future, measurement, flat,
                     ego2img, fpn_value, spatial_shapes,
-                    temporal_emb, static_emb, pyramid, lidar_hr,
+                    temporal_emb, static_emb, pyramid, lidar_hr, ida,
                 )
                 wp_list.append(wp_c + dwp)
                 ctrl_list.append(ct_c + dct)

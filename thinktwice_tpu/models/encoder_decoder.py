@@ -61,13 +61,14 @@ class ThinkTwiceModel(nn.Module):
         teacher_wp=None,      # (B, T, 2) GT waypoints (teacher forcing)
         teacher_ctrl_sp=None, # (B, T, 4) GT softplus-space ctrl (alpha, beta)
         sweep2key=None,       # (B, T_sweeps, 4, 4) ego(t)->ego(key) transforms
+        ida=None,             # (B, N, 4, 4) IDA pixel transforms (augment)
     ):
         m = self.cfg
         B = imgs.shape[0]
 
         cam_out = MultiSweepLSS(
             m, self.backbone_depth, self.n_sweeps, name="img_encoder"
-        )(imgs, cam2ego, intrinsics, sweep2key=sweep2key)
+        )(imgs, cam2ego, intrinsics, sweep2key=sweep2key, ida=ida)
         cam_bev = bev_to_bird(cam_out["bev"])                  # (B, 21, 21, 256)
 
         # measurement encoder (:59-64): 1 + 2 + 6 -> 128
@@ -132,6 +133,7 @@ class ThinkTwiceModel(nn.Module):
             flat_feat, grid32, measurement, ego2img, fpn_value,
             spatial_shapes, pyramid, lidar_hr,
             teacher_wp=teacher_wp, teacher_ctrl_sp=teacher_ctrl_sp,
+            ida=ida,
         )
         outs["depth"] = cam_out["depth"]
         outs["seg"] = cam_out["seg"]

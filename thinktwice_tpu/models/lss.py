@@ -121,13 +121,18 @@ def make_frustum(cfg: ModelConfig, h: int, w: int):
     return jnp.stack([u, v, d], axis=-1)
 
 
-def frustum_to_ego(frustum, cam2ego, intrin_inv):
+def frustum_to_ego(frustum, cam2ego, intrin_inv, ida=None):
     """frustum (D, h, w, 3); cam2ego (4, 4); intrin_inv (3, 3) -> ego xyz.
 
-    (lss.py get_geometry:454-512, without the ida^-1 term — augmentation
-    matrices multiply in upstream when present.)
-    """
+    (lss.py get_geometry:454-512.) With `ida` (4, 4) the frustum's pixel
+    coordinates live in AUGMENTED image space and are mapped back through
+    ida^-1 before unprojection (the reference's ida_mat.inverse() at
+    lss.py:493-496)."""
     u, v, d = frustum[..., 0], frustum[..., 1], frustum[..., 2]
+    if ida is not None:
+        det = ida[0, 0] * ida[1, 1]
+        u = (u - ida[0, 3]) * (ida[1, 1] / det)
+        v = (v - ida[1, 3]) * (ida[0, 0] / det)
     pix = jnp.stack([u * d, v * d, d], axis=-1)
     cam = jnp.einsum("ij,dhwj->dhwi", intrin_inv, pix)
     return (
@@ -144,12 +149,13 @@ class LSS(nn.Module):
     backbone_depth: int = 50
 
     @nn.compact
-    def __call__(self, imgs, cam2ego, intrinsics, ego2key=None):
+    def __call__(self, imgs, cam2ego, intrinsics, ego2key=None, ida=None):
         """imgs (B, N, H, W, 3) normalized; cam2ego (N, 4, 4);
         intrinsics (3, 3) shared; ego2key (B, 4, 4) optional per-sample
         transform from this sweep's ego frame into the key frame (the
         reference's curr2key composition, lss.py:667-687) — identity/None for
-        the key sweep."""
+        the key sweep; ida (B, N, 4, 4) optional augmented-from-raw pixel
+        transforms (train.augment.ida_augment)."""
         m = self.cfg
         B, N, H, W, _ = imgs.shape
         x = imgs.reshape(B * N, H, W, 3)
@@ -169,9 +175,25 @@ class LSS(nn.Module):
         seg_ds = nn.avg_pool(seg_feat, (4, 4), strides=(4, 4))
         f16 = f16 + nn.Conv(256, (1, 1), name="seg_reinject")(seg_ds)
 
+        # camera-param conditioning incl. the 6 ida affine entries
+        # (lss.py:209-232 — intrin + ida[0,0],[0,1],[0,3],[1,0],[1,1],[1,3]
+        # + extrinsics; identity ida when not augmenting)
+        if ida is None:
+            ida_entries = jnp.tile(
+                jnp.asarray([1.0, 0.0, 0.0, 0.0, 1.0, 0.0]), (B * N, 1)
+            )
+        else:
+            ida_entries = jnp.stack(
+                [
+                    ida[..., 0, 0], ida[..., 0, 1], ida[..., 0, 3],
+                    ida[..., 1, 0], ida[..., 1, 1], ida[..., 1, 3],
+                ],
+                axis=-1,
+            ).reshape(B * N, 6)
         cam_params = jnp.concatenate(
             [
                 jnp.tile(intrinsics.reshape(1, 9), (B * N, 1)),
+                ida_entries,
                 jnp.tile(cam2ego[:, :3, :].reshape(N, 12), (B, 1)),
             ],
             axis=-1,
@@ -184,6 +206,17 @@ class LSS(nn.Module):
 
         frustum = make_frustum(m, h, w)
         intrin_inv = jnp.linalg.inv(intrinsics)
+        if ida is not None:
+            # per-(sample, camera) geometry: ida varies across the batch
+            geom_bn = jax.vmap(
+                jax.vmap(
+                    lambda c2e, a: frustum_to_ego(frustum, c2e, intrin_inv, a),
+                    in_axes=(0, 0),
+                ),
+                in_axes=(None, 0),
+            )(cam2ego, ida)                                   # (B, N, D, h, w, 3)
+        else:
+            geom_bn = None
         geom = jax.vmap(lambda c2e: frustum_to_ego(frustum, c2e, intrin_inv))(
             cam2ego
         )                                                     # (N, D, h, w, 3)
@@ -203,14 +236,19 @@ class LSS(nn.Module):
                 z_min=-4.0, z_max=10.0,
             )
 
+        geom_b = None
+        if geom_bn is not None:
+            geom_b = geom_bn.reshape(B, N, m.n_depth_bins, h * w, 3)
         if ego2key is not None:
             # per-sample ego-motion compensation: frustum points move into
             # the key ego frame before pooling, so a history sweep's BEV
             # lands on the same cells as the key sweep's
-            geom_b = (
-                jnp.einsum("bij,ndpj->bndpi", ego2key[:, :3, :3], geom_flat)
-                + ego2key[:, None, None, None, :3, 3]
-            )                                                 # (B, N, D, hw, 3)
+            if geom_b is None:
+                rot = jnp.einsum("bij,ndpj->bndpi", ego2key[:, :3, :3], geom_flat)
+            else:
+                rot = jnp.einsum("bij,bndpj->bndpi", ego2key[:, :3, :3], geom_b)
+            geom_b = rot + ego2key[:, None, None, None, :3, 3]
+        if geom_b is not None:
             bev = jax.vmap(pool_one)(geom_b, dp, ctx)
         else:
             bev = jax.vmap(lambda d, c: pool_one(geom_flat, d, c))(dp, ctx)
@@ -232,15 +270,18 @@ class MultiSweepLSS(nn.Module):
     n_sweeps: int = 1
 
     @nn.compact
-    def __call__(self, imgs_sweeps, cam2ego, intrinsics, sweep2key=None):
+    def __call__(self, imgs_sweeps, cam2ego, intrinsics, sweep2key=None,
+                 ida=None):
         """imgs_sweeps (B, T, N, H, W, 3), T = n_sweeps (newest last);
         sweep2key (B, T, 4, 4) optional per-sweep ego(t)->ego(key)
         transforms (geometry.sweep_to_key; identity for the key sweep).
         Without it history sweeps pool into their own ego frame — at 6 m/s
         that is a ~3 m BEV misalignment, so pass it whenever the ego moves
-        (the reference always does, carla_dataset.py:290-312)."""
+        (the reference always does, carla_dataset.py:290-312). ida
+        (B, N, 4, 4) applies to every sweep (IDAImageTransform samples per
+        camera and reuses across frames)."""
         lss = LSS(self.cfg, self.backbone_depth, name="lss")
-        out = lss(imgs_sweeps[:, -1], cam2ego, intrinsics)
+        out = lss(imgs_sweeps[:, -1], cam2ego, intrinsics, ida=ida)
         if self.n_sweeps > 1:
             bevs = [out["bev"]]
             for t in range(self.n_sweeps - 1):
@@ -251,6 +292,7 @@ class MultiSweepLSS(nn.Module):
                     ego2key=None
                     if e2k is None
                     else jax.lax.stop_gradient(e2k),
+                    ida=ida,
                 )
                 bevs.append(jax.lax.stop_gradient(hist["bev"]))
             merged = jnp.concatenate(bevs, axis=-1)

@@ -48,7 +48,8 @@ K_CAP = 128       # primitives per tile cap
 KIND_SEG, KIND_BOX = 0.0, 1.0
 
 
-def _build_primitives(cfg: BirdviewConfig, town: TownMap, hist, route_window):
+def _build_primitives(cfg: BirdviewConfig, town: TownMap, hist, route_window,
+                      stop_pose=None, stop_active=None):
     """-> (prims (NP, 8) f32, valid (NP,) bool). Row: [kind, p0..p4, bit, 0].
     Segments: p = x1 y1 x2 y2 halfw; boxes: p = cx cy yaw ex ey."""
     rows = []
@@ -111,6 +112,10 @@ def _build_primitives(cfg: BirdviewConfig, town: TownMap, hist, route_window):
         bit = 12.0 + 3.0 * h + tls
         add_segs(town.tl_stopline[:, 0], town.tl_stopline[:, 1], half_tl,
                  town.tl_valid, bit)
+        if stop_pose is not None:
+            # active stop signs draw at the red value in the TL channel
+            # (chauffeurnet.py:179 c_tl[stop_masks]=255) -> reuse the red bit
+            add_boxes(stop_pose, stop_active, 12 + 3 * h + 2)
 
     prims = jnp.concatenate(rows, axis=0)
     valid = jnp.concatenate(valids, axis=0)
@@ -229,9 +234,12 @@ def _kernel(prims_ref, counts_ref, ego_ref, out_ref, *,
 
 
 def render_birdview_bits(cfg: BirdviewConfig, town: TownMap, ego_pos, ego_yaw,
-                         hist, route_window, interpret: bool = False):
+                         hist, route_window, interpret: bool = False,
+                         stop_pose=None, stop_active=None):
     """-> (W, W) int32 bitmask via the Pallas kernel (single world)."""
-    prims, valid = _build_primitives(cfg, town, hist, route_window)
+    prims, valid = _build_primitives(
+        cfg, town, hist, route_window, stop_pose, stop_active
+    )
     tiled, counts = _tile_lists(cfg, prims, valid, ego_pos, ego_yaw)
     ego = jnp.stack([ego_pos[0], ego_pos[1], ego_yaw, 0.0])
 
@@ -294,9 +302,11 @@ def decode_bits(cfg: BirdviewConfig, bits):
 
 def render_birdview_pallas(cfg: BirdviewConfig, town: TownMap, ego_pos,
                            ego_yaw, hist, route_window,
-                           interpret: bool = False):
-    """Drop-in for sensors.birdview.render_birdview (no stop-sign overlay)."""
+                           interpret: bool = False,
+                           stop_pose=None, stop_active=None):
+    """Drop-in for sensors.birdview.render_birdview."""
     bits = render_birdview_bits(
-        cfg, town, ego_pos, ego_yaw, hist, route_window, interpret=interpret
+        cfg, town, ego_pos, ego_yaw, hist, route_window, interpret=interpret,
+        stop_pose=stop_pose, stop_active=stop_active,
     )
     return decode_bits(cfg, bits)

@@ -254,14 +254,36 @@ def birdview_from_state(cfg: BirdviewConfig, town: TownMap, state: WorldState,
     offs = jnp.arange(cfg.n_route_points)
     win = jnp.clip(idx + offs, 0, state.route.shape[0] - 1)
     route_window = state.route[win, :2]
+
+    # active stop signs render into the TL channel at the red value
+    # (chauffeurnet.py:179 c_tl[stop_masks]=255): a stop is active while the
+    # ego is near it and has not completed the stop (criteria state machine)
+    d_stop = jnp.linalg.norm(town.stop_pos - state.ego.pos[None], axis=-1)
+    stop_active = (
+        town.stop_valid
+        & ~state.criteria.stop_has_stopped
+        & (d_stop < 30.0)
+    )
+    ns = town.stop_pos.shape[0]
+    stop_pose = jnp.concatenate(
+        [
+            town.stop_pos,
+            town.stop_yaw[:, None],
+            jnp.tile(jnp.asarray([[0.6, 2.8]]), (ns, 1)),
+        ],
+        axis=-1,
+    )
+
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         from thinktwice_tpu.ops.birdview_pallas import render_birdview_pallas
 
         return render_birdview_pallas(
-            cfg, town, state.ego.pos, state.ego.yaw, state.history, route_window
+            cfg, town, state.ego.pos, state.ego.yaw, state.history,
+            route_window, stop_pose=stop_pose, stop_active=stop_active,
         )
     return render_birdview(
-        cfg, town, state.ego.pos, state.ego.yaw, state.history, route_window
+        cfg, town, state.ego.pos, state.ego.yaw, state.history, route_window,
+        stop_pose=stop_pose, stop_active=stop_active,
     )

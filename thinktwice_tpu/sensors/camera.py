@@ -75,6 +75,8 @@ def render_cameras(
     wlk_pose,
     wlk_active,
     tl_states=None,  # (NL,) light phases; renders fixtures when given
+    weather=None,    # (10,) sim.weather params; modulates light/fog/rain
+    rng=None,        # PRNG key for rain noise (weather only)
 ):
     """-> dict rgb (N, H, W, 3) in [0,1], depth (N, H, W) meters along the
     optical axis, semantic (N, H, W) int32."""
@@ -109,11 +111,48 @@ def render_cameras(
         outs_depth.append(jnp.where(hit["hit"], zdepth, 0.0).reshape(H, W))
         outs_sem.append(sem)
 
-    return {
-        "rgb": jnp.stack(outs_rgb),
-        "depth": jnp.stack(outs_depth),
-        "semantic": jnp.stack(outs_sem),
-    }
+    rgb = jnp.stack(outs_rgb)
+    depth = jnp.stack(outs_depth)
+    sem = jnp.stack(outs_sem)
+    if weather is not None:
+        rgb = apply_weather(rgb, depth, sem, weather, rng)
+    return {"rgb": rgb, "depth": depth, "semantic": sem}
+
+
+def apply_weather(rgb, depth, sem, weather, rng=None):
+    """Photometric weather model over the rendered frames (the UE4 renderer's
+    lighting/fog/rain as analytic terms; parameters per sim/weather.py).
+
+    - sun altitude -> ambient brightness (night < 0 deg, evaluator:387);
+    - cloudiness -> dimming + desaturation;
+    - fog density/falloff -> exponential blend toward the sky color with
+      optical depth along the ray (CARLA's exponential height fog, flattened);
+    - precipitation -> additive noise (rain clutter) when an rng is given.
+    """
+    from thinktwice_tpu.sim.weather import (
+        W_ALTITUDE, W_CLOUD, W_FOG_DENSITY, W_FOG_FALLOFF, W_RAIN,
+    )
+
+    alt = jnp.deg2rad(weather[W_ALTITUDE])
+    sun = jnp.clip(jnp.sin(alt), 0.0, 1.0)
+    brightness = 0.15 + 0.85 * sun                        # night floor 0.15
+    cloud = weather[W_CLOUD] / 100.0
+    brightness = brightness * (1.0 - 0.25 * cloud)
+    gray = jnp.mean(rgb, axis=-1, keepdims=True)
+    out = (rgb * (1.0 - 0.3 * cloud) + gray * 0.3 * cloud) * brightness
+
+    sigma = weather[W_FOG_DENSITY] / 100.0 * 0.03 * jnp.maximum(
+        weather[W_FOG_FALLOFF], 0.1
+    )
+    hit = (sem > 0) | (depth > 0)
+    trans = jnp.where(hit, jnp.exp(-sigma * depth), 1.0)[..., None]
+    fog_color = jnp.asarray([0.65, 0.66, 0.68]) * brightness
+    out = out * trans + fog_color * (1.0 - trans)
+
+    rain = weather[W_RAIN] / 100.0
+    if rng is not None:
+        out = out + 0.08 * rain * jax.random.normal(rng, out.shape)
+    return jnp.clip(out, 0.0, 1.0)
 
 
 def cameras_from_state(cfg: CameraConfig, town: TownMap, state: WorldState):
@@ -129,4 +168,6 @@ def cameras_from_state(cfg: CameraConfig, town: TownMap, state: WorldState):
         cfg, town, state.ego.pos, state.ego.yaw,
         veh_pose, state.traffic.active, wlk_pose, state.walkers.active,
         tl_states=traffic_light_states(town, state.time_s),
+        weather=state.weather,
+        rng=jax.random.fold_in(state.rng, state.tick),
     )

@@ -82,10 +82,24 @@ def lidar_from_state(cfg: LidarConfig, town: TownMap, state: WorldState):
     wlk_pose = box_pose_from_state(
         state.walkers.pos, state.walkers.yaw, state.walkers.extent, WALKER_HEIGHT
     )
-    return render_lidar(
+    points, mask = render_lidar(
         cfg, town, state.ego.pos, state.ego.yaw,
         veh_pose, state.traffic.active, wlk_pose, state.walkers.active,
     )
+    # weather: rain drops returns (clutter absorbs beams), wetness jitters
+    # ranges — the real sensor's behavior CARLA models with its
+    # atmosphere_attenuation_rate/dropoff params
+    from thinktwice_tpu.sim.weather import W_RAIN, W_WETNESS
+
+    rain = state.weather[W_RAIN] / 100.0
+    wet = state.weather[W_WETNESS] / 100.0
+    rng = jax.random.fold_in(state.rng, state.tick + 7919)
+    k1, k2 = jax.random.split(rng)
+    keep = jax.random.uniform(k1, mask.shape) > 0.25 * rain
+    mask = mask & keep
+    jitter = 0.03 * wet * jax.random.normal(k2, points[:, :3].shape)
+    points = points.at[:, :3].add(jnp.where(mask[:, None], jitter, 0.0))
+    return jnp.where(mask[:, None], points, 0.0), mask
 
 
 def merge_sweeps(points_now, mask_now, points_prev, mask_prev,

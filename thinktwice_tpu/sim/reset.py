@@ -18,6 +18,7 @@ import numpy as np
 
 from thinktwice_tpu.config import Config
 from thinktwice_tpu.maps.town import TownMap
+from thinktwice_tpu.sim import weather as weather_lib
 from thinktwice_tpu.sim.state import (
     EgoState,
     ScenarioState,
@@ -54,6 +55,7 @@ def reset_world(
     rng: jax.Array,
     n_vehicles: int = 0,
     scenario: ScenarioState | None = None,
+    weather: jax.Array | None = None,   # (10,) sim.weather params
 ) -> WorldState:
     sim = cfg.sim
     V, W = sim.max_vehicles, sim.max_walkers
@@ -115,6 +117,11 @@ def reset_world(
         history=zero_history(cfg, n_lights=town.tl_valid.shape[0]),
         scenario=scenario if scenario is not None else zero_scenarios(cfg),
         rng=rng,
+        weather=(
+            jnp.asarray(weather, jnp.float32)
+            if weather is not None
+            else jnp.asarray(weather_lib.DEFAULT)
+        ),
     )
 
 

@@ -35,6 +35,13 @@ KIND_CROSSING_VEHICLE = 4   # Signal/NoSignalJunctionCrossingRoute: an NPC
                             # barrels through the junction across the ego path
 KIND_ONCOMING_VEHICLE = 5   # ManeuverOppositeDirection: an NPC drives at the
                             # ego in its own lane
+KIND_VEHICLE_TURNING = 6    # Scenario4 VehicleTurningRoute
+                            # (object_crash_vehicle.py): a cyclist crosses the
+                            # lane the ego is turning into
+KIND_BLOCKED_OVERTAKE = 7   # Scenario5 OtherLeadingVehicle
+                            # (other_leading_vehicle.py): the lead decelerates
+                            # while an adjacent-lane vehicle blocks the
+                            # overtake (blocker slot index in param[3])
 
 ARMED, RUNNING, DONE = 0, 1, 2
 
@@ -47,6 +54,13 @@ CROSS_VEHICLE_SPEED = 8.0
 CROSS_VEHICLE_DURATION = 6.0
 ONCOMING_SPEED = 6.0
 ONCOMING_DURATION = 5.0
+CYCLIST_SPEED = 4.0           # VehicleTurningRoute crossing speed
+CYCLIST_DURATION = 8.0
+CYCLIST_EXTENT = (0.9, 0.4)   # bicycle-sized box
+LEAD_SLOW_SPEED = 4.0         # OtherLeadingVehicle decelerated lead speed
+BLOCKER_SPEED = 5.5
+OVERTAKE_DURATION = 14.0
+WALKER_SIDE_OFFSET = 6.0      # roadside spawn distance from the lane center
 
 
 def step_scenarios(
@@ -57,6 +71,7 @@ def step_scenarios(
     traffic: TrafficState,
     rng,
     dt: float,
+    ego_speed=None,
 ):
     """Advance every scenario slot one tick.
 
@@ -79,9 +94,11 @@ def step_scenarios(
             LEAD_BRAKE_DURATION,
             CROSS_VEHICLE_DURATION,
             ONCOMING_DURATION,
+            CYCLIST_DURATION,
+            OVERTAKE_DURATION,
         ]
     )
-    duration = durations[jnp.clip(scen.kind, 0, 5)]
+    duration = durations[jnp.clip(scen.kind, 0, 7)]
     new_timer = jnp.where(
         scen.state == RUNNING, scen.timer + dt, jnp.where(fire, 0.0, scen.timer)
     )
@@ -91,8 +108,12 @@ def step_scenarios(
     ).astype(jnp.int32)
 
     # --- walker activation for DYNAMIC_CROSSING ---------------------------
-    # param = [trigger_dist, walk_yaw, _, _]; walker starts at trigger_pos
-    # offset to the roadside and dashes along walk_yaw.
+    # param = [trigger_dist, walk_yaw, side_offset, _]. Reference spawn
+    # geometry (object_crash_vehicle.py DynamicObjectCrossing
+    # _calculate_base_transform + TTC sync): the walker starts at the
+    # ROADSIDE — trigger point displaced side_offset meters against the walk
+    # direction — and dashes across at a speed timed so it reaches the lane
+    # center as the ego arrives (dash = side_offset / (d_trig / ego_speed)).
     W = walkers.pos.shape[0]
     slot_onehot = jax.nn.one_hot(scen.actor_idx, W, dtype=bool)  # (S, W)
     is_crossing = scen.kind == KIND_DYNAMIC_CROSSING
@@ -102,15 +123,25 @@ def step_scenarios(
     act_any = jnp.any(activate, axis=0)                           # (W,)
     deact_any = jnp.any(deactivate, axis=0)
 
+    side = jnp.where(scen.param[:, 2] > 0, scen.param[:, 2], WALKER_SIDE_OFFSET)
+    walk_dir = jnp.stack(
+        [jnp.cos(scen.param[:, 1]), jnp.sin(scen.param[:, 1])], axis=-1
+    )                                                             # (S, 2)
+    roadside = scen.trigger_pos - side[:, None] * walk_dir        # (S, 2)
+    espd = jnp.maximum(ego_speed if ego_speed is not None else 5.0, 1.0)
+    ttc = d_trig / espd                                           # (S,)
+    dash = jnp.clip(side / jnp.maximum(ttc, 0.5), 1.0, 4.0)
+
     # start pose per walker slot from whichever scenario activates it
-    start_pos = jnp.einsum("sw,sc->wc", activate.astype(jnp.float32), scen.trigger_pos)
+    start_pos = jnp.einsum("sw,sc->wc", activate.astype(jnp.float32), roadside)
     start_yaw = jnp.einsum("sw,s->w", activate.astype(jnp.float32), scen.param[:, 1])
+    start_speed = jnp.einsum("sw,s->w", activate.astype(jnp.float32), dash)
 
     new_wlk = WalkerState(
         pos=jnp.where(act_any[:, None], start_pos, walkers.pos),
         yaw=jnp.where(act_any, start_yaw, walkers.yaw),
         speed=jnp.where(
-            act_any, CROSSING_SPEED, jnp.where(deact_any, 0.0, walkers.speed)
+            act_any, start_speed, jnp.where(deact_any, 0.0, walkers.speed)
         ),
         extent=walkers.extent,
         active=(walkers.active | act_any) & ~deact_any,
@@ -130,24 +161,97 @@ def step_scenarios(
     # trigger_pos driving straight at a fixed speed for the duration, then
     # deactivates (≡ the py_trees actor-source/sink pattern,
     # atomic_behaviors.py ActorSource/ActorSink)
-    is_vehicle_scen = (scen.kind == KIND_CROSSING_VEHICLE) | (
-        scen.kind == KIND_ONCOMING_VEHICLE
+    is_vehicle_scen = (
+        (scen.kind == KIND_CROSSING_VEHICLE)
+        | (scen.kind == KIND_ONCOMING_VEHICLE)
+        | (scen.kind == KIND_VEHICLE_TURNING)
+        | (scen.kind == KIND_BLOCKED_OVERTAKE)
     )
     v_activate = (fire & is_vehicle_scen)[:, None] & (veh_onehot > 0.5)  # (S, V)
     v_deactivate = (finish & is_vehicle_scen)[:, None] & (veh_onehot > 0.5)
-    v_act_any = jnp.any(v_activate, axis=0)
-    v_deact_any = jnp.any(v_deactivate, axis=0)
-    v_running = ((new_state == RUNNING) & is_vehicle_scen)[:, None] & (
-        veh_onehot > 0.5
-    )
-    v_run_any = jnp.any(v_running, axis=0)
 
-    spawn_pos = jnp.einsum("sv,sc->vc", v_activate.astype(jnp.float32), scen.trigger_pos)
-    spawn_yaw = jnp.einsum("sv,s->v", v_activate.astype(jnp.float32), scen.param[:, 1])
-    scen_speed = jnp.where(
-        scen.kind == KIND_CROSSING_VEHICLE, CROSS_VEHICLE_SPEED, ONCOMING_SPEED
+    heading = jnp.stack(
+        [jnp.cos(scen.param[:, 1]), jnp.sin(scen.param[:, 1])], axis=-1
+    )                                                             # (S, 2)
+    left = jnp.stack(
+        [-jnp.sin(scen.param[:, 1]), jnp.cos(scen.param[:, 1])], axis=-1
     )
-    run_speed = jnp.einsum("sv,s->v", v_running.astype(jnp.float32), scen_speed)
+    # per-kind primary-actor spawn pose and speed
+    is_turning = scen.kind == KIND_VEHICLE_TURNING
+    is_overtake = scen.kind == KIND_BLOCKED_OVERTAKE
+    primary_pos = jnp.where(
+        is_turning[:, None],
+        # cyclist starts at the roadside of the lane the ego turns into
+        scen.trigger_pos - WALKER_SIDE_OFFSET * heading,
+        jnp.where(
+            is_overtake[:, None],
+            # decelerating lead spawns ahead of the trigger along the route
+            scen.trigger_pos + 18.0 * heading,
+            scen.trigger_pos,
+        ),
+    )
+    scen_speed = jnp.where(
+        is_turning,
+        CYCLIST_SPEED,
+        jnp.where(
+            is_overtake,
+            LEAD_SLOW_SPEED,
+            jnp.where(
+                scen.kind == KIND_CROSSING_VEHICLE,
+                CROSS_VEHICLE_SPEED,
+                ONCOMING_SPEED,
+            ),
+        ),
+    )
+
+    # OtherLeadingVehicle's second actor: an adjacent-lane blocker
+    # (other_leading_vehicle.py: the overtaking lane is occupied). Slot index
+    # rides in param[3]; it spawns one lane to the left of the lead, slightly
+    # behind, and holds a speed between the slow lead and traffic flow.
+    blk_onehot = jax.nn.one_hot(
+        scen.param[:, 3].astype(jnp.int32), V, dtype=jnp.float32
+    )
+    b_activate = (fire & is_overtake)[:, None] & (blk_onehot > 0.5)
+    b_deactivate = (finish & is_overtake)[:, None] & (blk_onehot > 0.5)
+    b_running = ((new_state == RUNNING) & is_overtake)[:, None] & (
+        blk_onehot > 0.5
+    )
+    blocker_pos = scen.trigger_pos + 8.0 * heading + 3.5 * left
+
+    act2 = jnp.concatenate([v_activate, b_activate], axis=0)      # (2S, V)
+    deact2 = jnp.concatenate([v_deactivate, b_deactivate], axis=0)
+    run2 = jnp.concatenate(
+        [
+            ((new_state == RUNNING) & is_vehicle_scen)[:, None]
+            & (veh_onehot > 0.5),
+            b_running,
+        ],
+        axis=0,
+    )
+    pos2 = jnp.concatenate([primary_pos, blocker_pos], axis=0)    # (2S, 2)
+    yaw2 = jnp.concatenate([scen.param[:, 1]] * 2, axis=0)
+    spd2 = jnp.concatenate(
+        [scen_speed, jnp.full_like(scen_speed, BLOCKER_SPEED)], axis=0
+    )
+
+    v_act_any = jnp.any(act2, axis=0)
+    v_deact_any = jnp.any(deact2, axis=0)
+    v_run_any = jnp.any(run2, axis=0)
+    spawn_pos = jnp.einsum("sv,sc->vc", act2.astype(jnp.float32), pos2)
+    spawn_yaw = jnp.einsum("sv,s->v", act2.astype(jnp.float32), yaw2)
+    run_speed = jnp.einsum("sv,s->v", run2.astype(jnp.float32), spd2)
+
+    # cyclists get bicycle-sized boxes while everyone else keeps car extents
+    cyc_slot = jnp.any(
+        ((fire | (new_state == RUNNING)) & is_turning)[:, None]
+        & (veh_onehot > 0.5),
+        axis=0,
+    )
+    new_extent = jnp.where(
+        (v_act_any & cyc_slot)[:, None],
+        jnp.asarray(CYCLIST_EXTENT)[None],
+        traffic.extent,
+    )
 
     new_traffic = TrafficState(
         pos=jnp.where(v_act_any[:, None], spawn_pos, traffic.pos),
@@ -155,7 +259,7 @@ def step_scenarios(
         speed=jnp.where(
             v_act_any, run_speed, jnp.where(v_deact_any, 0.0, traffic.speed)
         ),
-        extent=traffic.extent,
+        extent=new_extent,
         wp_idx=traffic.wp_idx,
         active=(traffic.active | v_act_any) & ~v_deact_any,
     )

@@ -137,6 +137,7 @@ class WorldState:
     history: HistoryState
     scenario: ScenarioState
     rng: jax.Array          # PRNG key
+    weather: jax.Array      # (10,) f32 CARLA WeatherParameters (sim.weather)
 
     @property
     def time_s(self) -> jax.Array:

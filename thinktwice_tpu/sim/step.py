@@ -79,7 +79,7 @@ def step_world(
         scripted_speed,
     ) = scen_lib.step_scenarios(
         cfg, state.scenario, state.ego.pos, state.walkers, state.traffic,
-        rng_scen, sim.dt,
+        rng_scen, sim.dt, ego_speed=state.ego.speed,
     )
 
     # --- ego integration ---------------------------------------------------
@@ -201,6 +201,7 @@ def step_world(
         history=history,
         scenario=scen,
         rng=rng,
+        weather=state.weather,
     )
 
     # freeze when done (per-world termination mask)

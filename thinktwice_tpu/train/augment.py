@@ -60,6 +60,106 @@ def curriculum(step, ramp_steps: int = 10_000):
 
 
 # ---------------------------------------------------------------------------
+# IDA geometric augmentation (BEVDepth-style resize/crop/flip with 4x4
+# ida_mat bookkeeping; transform.py IDAImageTransform:221-341 + img_transform
+# :346-378). The reference renders at 1600x900 and crops to 448x896; our
+# images are already at final size, so the augmentation is an upscale
+# (resize_lim >= 1) + random crop of the overflow + random horizontal flip,
+# realized as ONE continuous affine warp per camera (grid-sample, static
+# shapes — no dynamic crops under jit). The sampled 4x4 ida_mat rides into
+# the model: LSS unprojects frustum pixels through ida^-1 and DepthNet's
+# camera-param MLP sees the 6 affine entries (lss.py:209-232, :474-496).
+# ---------------------------------------------------------------------------
+
+
+def sample_ida_mats(rng, B, N, H, W, resize_lim=(1.0, 1.15), flip_p=0.5):
+    """-> (B, N, 4, 4) f32 augmented-from-raw pixel transforms.
+
+    p_aug = A[:2,:2] @ p_raw + A[:2,3]; bottom-aligned vertical crop
+    (bot_pct_lim = (0,0) in the reference config), uniform horizontal crop,
+    per-camera flip."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    s = jax.random.uniform(
+        k1, (B, N), minval=resize_lim[0], maxval=resize_lim[1]
+    )
+    crop_h = s * H - H                                     # bottom-aligned
+    crop_w = jax.random.uniform(k2, (B, N)) * (s * W - W)
+    flip = jax.random.bernoulli(k3, flip_p, (B, N))
+
+    # rot = diag(s, s); flip maps x' -> (W - 1) - x', composed with
+    # scale+crop: x_aug = (W - 1) - s*x + crop_w
+    sx = jnp.where(flip, -s, s)
+    tx = jnp.where(flip, (W - 1.0) + crop_w, -crop_w)
+    ida = jnp.zeros((B, N, 4, 4))
+    ida = ida.at[..., 0, 0].set(sx)
+    ida = ida.at[..., 1, 1].set(s)
+    ida = ida.at[..., 0, 3].set(tx)
+    ida = ida.at[..., 1, 3].set(-crop_h)
+    ida = ida.at[..., 2, 2].set(1.0)
+    ida = ida.at[..., 3, 3].set(1.0)
+    return ida
+
+
+def _warp_affine(img, ida, ds: float = 1.0, nearest: bool = False):
+    """Warp one image (H, W[, C]) into augmented space: output pixel p_out
+    (at resolution 1/ds of the ida's pixel units) samples the input at
+    ida^-1 @ p_out."""
+    from thinktwice_tpu.ops.grid_sample import grid_sample_2d
+
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    H, W = img.shape[0], img.shape[1]
+    A = ida
+    det = A[0, 0] * A[1, 1]
+    inv00 = A[1, 1] / det
+    inv11 = A[0, 0] / det
+    ys = (jnp.arange(H) + 0.5) * ds - 0.5
+    xs = (jnp.arange(W) + 0.5) * ds - 0.5
+    gx, gy = jnp.meshgrid(xs, ys)
+    rx = inv00 * (gx - A[0, 3])
+    ry = inv11 * (gy - A[1, 3])
+    coords = jnp.stack([rx, ry], axis=-1) / ds
+    if nearest:
+        coords = jnp.round(coords)
+    out = grid_sample_2d(img, coords)
+    return out[..., 0] if squeeze else out
+
+
+def ida_augment(rng, batch: dict, resize_lim=(1.0, 1.15), flip_p=0.5) -> dict:
+    """Apply IDA to a training batch: warps imgs (all sweeps, same per-camera
+    transform — IDAImageTransform samples per cam_id and reuses it for every
+    frame_id), gt_depth and gt_seg; adds batch['ida'] (B, N, 4, 4)."""
+    out = dict(batch)
+    imgs = batch["imgs"]                                    # (B, T, N, H, W, 3)
+    B, T, N, H, W, _ = imgs.shape
+    ida = sample_ida_mats(rng, B, N, H, W, resize_lim, flip_p)
+
+    warp_btn = jax.vmap(  # over B
+        jax.vmap(  # over T
+            jax.vmap(_warp_affine, in_axes=(0, 0)),  # over N
+            in_axes=(0, None),
+        )
+    )
+    out["imgs"] = warp_btn(imgs, ida)
+    ida_flat = ida.reshape(B * N, 4, 4)
+    if batch.get("gt_depth") is not None:
+        out["gt_depth"] = jax.vmap(
+            lambda g, a: _warp_affine(g, a, nearest=True)
+        )(batch["gt_depth"], ida_flat)
+    if batch.get("gt_seg") is not None:
+        g = batch["gt_seg"]
+        ds = H / g.shape[1]
+        out["gt_seg"] = jax.vmap(
+            lambda gi, a: _warp_affine(
+                gi.astype(jnp.float32), a, ds=ds, nearest=True
+            ).astype(gi.dtype)
+        )(g, ida_flat)
+    out["ida"] = ida
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Geometric flip augmentation (the role of rand_flip in the BEVDepth IDA
 # pipeline, transform.py ida_aug_conf): mirror the whole world about the
 # ego's longitudinal axis. Because scene, supervision, and sensors are all
@@ -114,9 +214,17 @@ def mirror_batch(batch: dict) -> dict:
         t = batch["teacher_ctrl_sp"]                    # (B, T, 4) = a_acc a_st b_acc b_st
         out["teacher_ctrl_sp"] = t[..., jnp.asarray([0, 3, 2, 1])]
 
-    # command one-hot: swap left (1) and right (2)
+    # command one-hot (reference indexing, train.collect): swap LEFT(0) with
+    # RIGHT(1) and CHANGELANELEFT(4) with CHANGELANERIGHT(5)
     if "command" in batch:
-        out["command"] = batch["command"][..., jnp.asarray([0, 2, 1, 3, 4, 5])]
+        out["command"] = batch["command"][..., jnp.asarray([1, 0, 2, 3, 5, 4])]
+
+    # per-sweep ego-motion transforms conjugate by the mirror F=diag(1,-1,1,1)
+    if "sweep2key" in batch:
+        F = jnp.diag(jnp.asarray([1.0, -1.0, 1.0, 1.0]))
+        out["sweep2key"] = jnp.einsum(
+            "ij,...jk,kl->...il", F, batch["sweep2key"], F
+        )
 
     # per-camera GT maps: mirror horizontally + swap cameras. Stored flat as
     # (B*N, h, w[, ...]) with N = 4.

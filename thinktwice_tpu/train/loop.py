@@ -53,6 +53,7 @@ def model_loss_fn(cfg: Config, model: ThinkTwiceModel):
             c2e, K, e2i,
             batch.get("teacher_wp"), batch.get("teacher_ctrl_sp"),
             sweep2key=batch.get("sweep2key"),
+            ida=batch.get("ida"),
         )
         return total_loss(cfg.model, outs, batch)
 
@@ -86,6 +87,7 @@ def collect_stream(
     rng,
     frames_per_chunk: int = 16,
     n_vehicles: int = 8,
+    n_sweeps: int = 1,
 ) -> Iterator[dict]:
     """Infinite stream of training batches from in-graph expert rollouts.
 
@@ -108,7 +110,9 @@ def collect_stream(
         st, frames, sensors = collect_j(
             cfg, roach_params, town, st, frames_per_chunk
         )
-        yield frames_to_batch(cfg, frames, sensors, cfg.model.pred_len)
+        yield frames_to_batch(
+            cfg, frames, sensors, cfg.model.pred_len, n_sweeps=n_sweeps
+        )
 
 
 def make_eval_fn(cfg: Config, model: ThinkTwiceModel):
@@ -149,6 +153,7 @@ def train(
     val_batches_fn=None,
     eval_every: int = 500,
     augment_mirror: bool = False,
+    augment_ida: bool = False,
 ):
     """Run n_steps of training over the batch stream. Returns TrainState."""
     if params is None:
@@ -172,6 +177,11 @@ def train(
             from thinktwice_tpu.train.augment import maybe_mirror
 
             batch = maybe_mirror(sub, batch)
+        if augment_ida:
+            aug_rng, sub = jax.random.split(aug_rng)
+            from thinktwice_tpu.train.augment import ida_augment
+
+            batch = ida_augment(sub, batch)
         state, metrics = step_fn(state, batch)
         if (i + 1) % log_every == 0 or i == 0:
             host = {
