@@ -17,8 +17,8 @@ functions over WorldState:
 
 `collect_rollout` scans macro-steps so the heavy observation renders exactly
 once per saved frame cadence; stacked outputs come back as one pytree —
-the vmapped version of this (parallel/collect.py) replaces the reference's
-one-CARLA-server-per-GPU collection fleet.
+vmapped over worlds (train/collect.py, parallel/worlds.py) this replaces the
+reference's one-CARLA-server-per-GPU collection fleet.
 """
 
 from __future__ import annotations
