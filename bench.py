@@ -54,14 +54,17 @@ def town05_world(cfg):
     from thinktwice_tpu.harness.route_parser import parse_routes_file
     from thinktwice_tpu.maps.compile_h5 import compile_town
 
+    from thinktwice_tpu.maps.router import raster_planner
+
     specs = parse_routes_file(ROUTES_XML)
+    planner = raster_planner(H5)
     routes, polys = [], []
     for s in specs:
-        raw = s.dense(spacing=1.0)
+        raw = s.dense(spacing=1.0, planner=planner)
         length = float(np.linalg.norm(np.diff(raw[:, :2], axis=0), axis=1).sum())
         if length < 100.0 or length > MAX_ROUTE_LEN - 10:
             continue
-        routes.append(s.dense(spacing=1.0, max_len=MAX_ROUTE_LEN))
+        routes.append(s.dense(spacing=1.0, max_len=MAX_ROUTE_LEN, planner=planner))
         polys.append(raw)
         if len(routes) >= N_WORLDS:
             break

@@ -35,6 +35,7 @@ from thinktwice_tpu.config import Config, SimConfig
 from thinktwice_tpu.harness.evaluator import build_route_scenarios, evaluate_routes
 from thinktwice_tpu.harness.route_parser import ScenarioTrigger, parse_routes_file
 from thinktwice_tpu.maps.compile_h5 import compile_town
+from thinktwice_tpu.maps.router import raster_planner
 from thinktwice_tpu.train import checkpoint as ckpt_lib
 
 H5 = "/root/reference/roach/obs_manager/birdview/maps/Town05.h5"
@@ -94,7 +95,8 @@ def main():
     out = args.out or f"runs/{args.agent}_town05_long.json"
 
     specs = parse_routes_file(ROUTES)[: args.routes]
-    polylines = [s.dense(spacing=2.0) for s in specs]
+    planner = raster_planner(H5)
+    polylines = [s.dense(spacing=2.0, planner=planner) for s in specs]
     print(f"compiling Town05 from {len(polylines)} route polylines...")
     town = compile_town(H5, polylines)
     n_tl = int(np.asarray(town.tl_valid).sum())
@@ -113,7 +115,8 @@ def main():
 
     routes, ids, scens, weathers = [], [], [], []
     for s in specs:
-        dense = s.dense(spacing=1.0, max_len=cfg.sim.max_route_len)
+        dense = s.dense(spacing=1.0, max_len=cfg.sim.max_route_len,
+                        planner=planner)
         routes.append(dense)
         ids.append(f"RouteScenario_{s.route_id}")
         weathers.append(s.weather)

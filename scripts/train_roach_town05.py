@@ -30,6 +30,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 from thinktwice_tpu.config import Config, SimConfig
 from thinktwice_tpu.harness.route_parser import parse_routes_file
 from thinktwice_tpu.maps.compile_h5 import compile_town
+from thinktwice_tpu.maps.router import raster_planner
 from thinktwice_tpu.train import checkpoint as ckpt_lib
 from thinktwice_tpu.train.ppo import PPOConfig, make_ppo
 
@@ -48,10 +49,11 @@ def load_route_bank(n_files: int = 4, min_len_m: float = 40.0,
     specs = []
     for f in sorted(glob.glob(TRAIN_GLOB))[:n_files]:
         specs.extend(parse_routes_file(f))
+    planner = raster_planner(H5)
     routes, polys = [], []
     for s in specs:
-        d = s.dense(spacing=1.0, max_len=MAX_ROUTE_LEN)
-        raw = s.dense(spacing=1.0)
+        raw = s.dense(spacing=1.0, planner=planner)
+        d = s.dense(spacing=1.0, max_len=MAX_ROUTE_LEN, planner=planner)
         length = float(np.linalg.norm(np.diff(raw[:, :2], axis=0), axis=1).sum())
         if length < min_len_m or length > MAX_ROUTE_LEN - 10:
             continue

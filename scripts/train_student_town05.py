@@ -31,6 +31,7 @@ from thinktwice_tpu.agents.roach import RoachPolicy
 from thinktwice_tpu.config import Config, SimConfig
 from thinktwice_tpu.harness.route_parser import parse_routes_file
 from thinktwice_tpu.maps.compile_h5 import compile_town
+from thinktwice_tpu.maps.router import raster_planner
 from thinktwice_tpu.train import checkpoint as ckpt_lib
 from thinktwice_tpu.train.loop import collect_stream, make_model, train
 
@@ -46,13 +47,15 @@ def load_routes(n_files=4, min_len=60.0, max_routes=96):
     specs = []
     for f in sorted(glob.glob(TRAIN_GLOB))[:n_files]:
         specs.extend(parse_routes_file(f))
+    planner = raster_planner(H5)
     routes, polys = [], []
     for s in specs:
-        raw = s.dense(spacing=1.0)
+        raw = s.dense(spacing=1.0, planner=planner)
         length = float(np.linalg.norm(np.diff(raw[:, :2], axis=0), axis=1).sum())
         if length < min_len or length > MAX_ROUTE_LEN - 10:
             continue
-        routes.append(s.dense(spacing=1.0, max_len=MAX_ROUTE_LEN))
+        routes.append(s.dense(spacing=1.0, max_len=MAX_ROUTE_LEN,
+                               planner=planner))
         polys.append(raw)
         if len(routes) >= max_routes:
             break

@@ -123,3 +123,53 @@ def test_ego_spawn_and_step(town05):
         st, _ = step(cfg, town, st, jnp.asarray([0.0, 1.0, 0.0]))
     assert float(st.criteria.route_completion) > 0.0
     assert not bool(st.criteria.done)
+
+
+# --- RasterPlanner: A* route interpolation over the road raster ------------
+# (≡ interpolate_trajectory's A* over the lane graph; Hermite densification
+# between sparse keypoints cut off-road — up to 8%/40 m-runs on the eval
+# routes and ~41% on the 2-keypoint training bank)
+
+
+@pytest.fixture(scope="module")
+def planner():
+    from thinktwice_tpu.maps.router import raster_planner
+
+    return raster_planner(H5)
+
+
+def test_planner_routes_stay_on_road(planner):
+    import h5py
+
+    from thinktwice_tpu.harness.route_parser import parse_routes_file
+
+    with h5py.File(H5, "r") as f:
+        road = f["road"][:]
+        off = f.attrs["world_offset_in_meters"]
+        ppm = float(f.attrs["pixels_per_meter"])
+    for s in parse_routes_file(ROUTES)[:4]:
+        d = s.dense(spacing=1.0, planner=planner)
+        px = np.clip(((d[:, 0] - off[0]) * ppm).astype(int), 0, road.shape[1] - 1)
+        py = np.clip(((d[:, 1] - off[1]) * ppm).astype(int), 0, road.shape[0] - 1)
+        assert (road[py, px] > 0).all(), f"route {s.route_id} leaves the road"
+        # headings are sane (no reversal kinks)
+        dy = np.abs(np.diff(np.unwrap(d[:, 2])))
+        assert np.rad2deg(dy.max()) < 60.0
+
+
+def test_planner_follows_keypoints_and_max_len(planner):
+    from thinktwice_tpu.harness.route_parser import parse_routes_file
+
+    s = parse_routes_file(ROUTES)[0]
+    d = s.dense(spacing=1.0, planner=planner)
+    # every keypoint is close to the planned path (driving-side offset keeps
+    # the path on the keypoints' lane, not the road centerline)
+    for kp in s.keypoints:
+        dist = np.linalg.norm(d[:, :2] - np.asarray(kp)[None], axis=1).min()
+        assert dist < 3.0
+    # max_len pad/truncate contract matches interpolate_route
+    p = s.dense(spacing=1.0, max_len=4096, planner=planner)
+    assert p.shape == (4096, 3)
+    assert np.allclose(p[-1], p[-2])
+    t = s.dense(spacing=1.0, max_len=300, planner=planner)
+    assert t.shape == (300, 3)

@@ -28,8 +28,18 @@ class RouteSpec:
     keypoint_yaws: np.ndarray  # (K,) degrees
     weather: np.ndarray | None = None  # (10,) sim.weather params
 
-    def dense(self, spacing: float = 1.0, max_len: int | None = None) -> np.ndarray:
-        """(N, 3) dense (x, y, yaw_rad)."""
+    def dense(self, spacing: float = 1.0, max_len: int | None = None,
+              planner=None) -> np.ndarray:
+        """(N, 3) dense (x, y, yaw_rad).
+
+        With `planner` (a maps.router.RasterPlanner for the route's town) the
+        densification runs A* over the road raster ≡ the reference's
+        interpolate_trajectory A* over the lane graph; without it, a posed
+        Hermite spline (fine for procedural towns whose routes come from the
+        lane graph already, off-road-cutting for sparse imported keypoints)."""
+        if planner is not None:
+            return planner.plan(self.keypoints, self.keypoint_yaws,
+                                spacing, max_len)
         return interpolate_route(self.keypoints, self.keypoint_yaws, spacing, max_len)
 
 
