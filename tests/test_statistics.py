@@ -57,8 +57,11 @@ def test_global_statistics_mean_and_per_km():
     r2 = compute_route_statistics(mk(completion=50.0, finished=False, n_red_light=2))
     g = compute_global_statistics([r1, r2])
     np.testing.assert_allclose(g["scores"]["score_route"], 75.0)
-    # red lights per completed km: route2 completed 0.5 km, 2 events -> 4/km
-    np.testing.assert_allclose(g["infractions"]["red_light"], 4.0)
+    # reference normalization (statistics_manager.py:222): "km" =
+    # score_route(0-100) x meters / 1000 — i.e. 100x the true km, kept for
+    # result-JSON comparability. route2: 50 x 1000 / 1000 = 50 "km",
+    # 2 events -> 0.04/km
+    np.testing.assert_allclose(g["infractions"]["red_light"], 0.04)
     assert g["status"] == "Failed"
 
 
