@@ -63,6 +63,9 @@ def test_reward_penalizes_collision(town):
         route_complete=jnp.asarray(False),
     )
     ev_crash = dataclasses.replace(ev_none, collision_vehicle=jnp.asarray(True))
-    r_clean = float(ppo_lib.compute_reward(st, st, ev_none))
-    r_crash = float(ppo_lib.compute_reward(st, st, ev_crash))
-    assert r_crash <= r_clean - ppo_lib.P_COLLISION + 1e-5
+    r_clean, comps = ppo_lib.compute_reward(st, st, ev_none)
+    r_crash, comps_crash = ppo_lib.compute_reward(st, st, ev_crash)
+    assert float(r_crash) <= float(r_clean) - ppo_lib.P_COLLISION + 1e-5
+    # components sum to the reward and the collision term carries the hit
+    assert abs(sum(float(v) for v in comps.values()) - float(r_clean)) < 1e-5
+    assert float(comps_crash["p_collision"]) == -ppo_lib.P_COLLISION

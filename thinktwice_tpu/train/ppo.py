@@ -111,21 +111,24 @@ def compute_reward(prev: WorldState, new: WorldState, events) -> jax.Array:
     )
     offlane_delta = new.criteria.dist_offlane - prev.criteria.dist_offlane
 
-    r = (
-        1.0 * progress
-        + R_SPEED * (1.0 - speed_err / DESIRED_SPEED)
-        - P_LATERAL * jnp.clip(lat - 0.5, 0.0, 4.0)
-        - P_HEADING * jnp.clip(dyaw, 0.0, 1.5)
-        - P_OFFROAD * offlane_delta
-        - P_COLLISION * (
+    comps = {
+        "r_progress": 1.0 * progress,
+        "r_speed": R_SPEED * (1.0 - speed_err / DESIRED_SPEED),
+        "p_lateral": -P_LATERAL * jnp.clip(lat - 0.5, 0.0, 4.0),
+        "p_heading": -P_HEADING * jnp.clip(dyaw, 0.0, 1.5),
+        "p_offroad": -P_OFFROAD * offlane_delta,
+        "p_collision": -P_COLLISION * (
             events.collision_vehicle.astype(jnp.float32)
             + events.collision_walker.astype(jnp.float32)
             + events.collision_static.astype(jnp.float32)
-        )
-        - P_RED_LIGHT * events.red_light.astype(jnp.float32)
-        - P_TERMINAL_BLOCKED * (new.criteria.blocked & ~prev.criteria.blocked).astype(jnp.float32)
-    )
-    return r
+        ),
+        "p_red_light": -P_RED_LIGHT * events.red_light.astype(jnp.float32),
+        "p_blocked": -P_TERMINAL_BLOCKED * (
+            new.criteria.blocked & ~prev.criteria.blocked
+        ).astype(jnp.float32),
+    }
+    r = sum(comps.values())
+    return r, comps
 
 
 @dataclasses.dataclass
@@ -210,7 +213,7 @@ def make_ppo(cfg: Config, ppo_cfg: PPOConfig, town: TownMap, routes):
             new_states, events = jax.vmap(
                 lambda s, c: step_world(cfg, town, s, c)
             )(states, ctrl)
-            rew = jax.vmap(compute_reward)(states, new_states, events)
+            rew, rcomps = jax.vmap(compute_reward)(states, new_states, events)
             done = new_states.criteria.done
             # auto-reset finished worlds
             new_states = jax.vmap(maybe_reset)(
@@ -224,6 +227,7 @@ def make_ppo(cfg: Config, ppo_cfg: PPOConfig, town: TownMap, routes):
                 "value": out["value"][:, 0],
                 "reward": rew,
                 "done": done,
+                "rcomps": rcomps,
             }
             return (new_states, rng), traj
 
@@ -320,6 +324,8 @@ def make_ppo(cfg: Config, ppo_cfg: PPOConfig, town: TownMap, routes):
         metrics["mean_reward"] = traj["reward"].mean()
         metrics["mean_speed"] = traj["sv"][..., 4].mean()
         metrics["dones"] = traj["done"].sum()
+        for k, v in traj["rcomps"].items():
+            metrics[k] = v.mean()
         return params, opt_state, env_states, metrics
 
     return init_fn, iterate_fn
