@@ -69,3 +69,46 @@ def test_reward_penalizes_collision(town):
     # components sum to the reward and the collision term carries the hit
     assert abs(sum(float(v) for v in comps.values()) - float(r_clean)) < 1e-5
     assert float(comps_crash["p_collision"]) == -ppo_lib.P_COLLISION
+
+
+def test_hazard_desired_speed(town):
+    """Red/yellow stop line ahead on the approach -> desired 0; green or
+    behind -> DESIRED_SPEED (carla-roach's hazard-adaptive speed target)."""
+    import dataclasses
+
+    from thinktwice_tpu.maps.town import TL_SLOT_S, traffic_light_states
+    from thinktwice_tpu.sim.reset import reset_world
+
+    st = reset_world(TINY, town, straight_route(), jax.random.key(0))
+    tl_pos = np.asarray(town.tl_pos)
+    valid = np.asarray(town.tl_valid)
+    k = int(np.nonzero(valid)[0][0])
+    yaw = float(np.asarray(town.tl_yaw)[k])
+
+    # place the ego 8 m before the stop line on the approach heading
+    back = np.asarray([np.cos(yaw), np.sin(yaw)]) * -8.0
+    ego = dataclasses.replace(
+        st.ego,
+        pos=jnp.asarray(tl_pos[k] + back, jnp.float32),
+        yaw=jnp.asarray(yaw, jnp.float32),
+    )
+
+    # scan a whole phase cycle: desired must be 0 whenever the light is
+    # non-green and DESIRED_SPEED whenever it is green
+    hits = {0: set(), 1: set(), 2: set()}
+    for t in np.linspace(0.0, float(2 * TL_SLOT_S), 16):
+        s = dataclasses.replace(st, ego=ego,
+                                tick=jnp.asarray(round(t / 0.05), jnp.int32))
+        want_stop = int(np.asarray(traffic_light_states(town, s.time_s))[k]) != 0
+        d = float(ppo_lib.hazard_desired_speed(TINY, town, s))
+        assert d == (0.0 if want_stop else ppo_lib.DESIRED_SPEED), t
+        hits[int(np.asarray(traffic_light_states(town, s.time_s))[k])].add(t)
+    assert hits[0] and (hits[1] or hits[2])  # both branches exercised
+
+    # same light, ego past the line -> no hazard regardless of phase
+    fwd = np.asarray([np.cos(yaw), np.sin(yaw)]) * 3.0
+    ego2 = dataclasses.replace(ego, pos=jnp.asarray(tl_pos[k] + fwd, jnp.float32))
+    for t in np.linspace(0.0, float(TL_SLOT_S), 6):
+        s = dataclasses.replace(st, ego=ego2,
+                                tick=jnp.asarray(round(t / 0.05), jnp.int32))
+        assert float(ppo_lib.hazard_desired_speed(TINY, town, s)) == ppo_lib.DESIRED_SPEED

@@ -51,7 +51,6 @@ MAX_GRAD_NORM = 0.5
 
 DESIRED_SPEED = 6.0
 R_SPEED = 0.3          # per-step weight on speed tracking
-R_PROGRESS = 30.0      # per meter of route progress fraction x route len? see below
 P_COLLISION = 10.0
 P_RED_LIGHT = 5.0
 P_OFFROAD = 2.0
@@ -88,16 +87,49 @@ P_LATERAL = 0.2        # per-step, per-meter of lane-center deviation beyond 0.5
 P_HEADING = 0.1        # per-step, per-radian of heading error vs the route
 
 
-def compute_reward(prev: WorldState, new: WorldState, events) -> jax.Array:
+def hazard_desired_speed(cfg: Config, town: TownMap, state: WorldState):
+    """Target speed for the reward: 0 when maintaining speed would cause an
+    infraction — a red/yellow stop line ahead on the ego's approach, or a
+    vehicle/walker inside the motion-forecast corridor — else DESIRED_SPEED.
+    This is carla-roach's hazard-adaptive desired speed (the term that makes
+    *stopping at red lights rewarded* rather than merely unpenalized)."""
+    from thinktwice_tpu.agents.expert import hazard_brake
+    from thinktwice_tpu.geometry import wrap_angle
+    from thinktwice_tpu.maps.town import TL_GREEN, traffic_light_states
+
+    ego = state.ego
+    fwd = jnp.stack([jnp.cos(ego.yaw), jnp.sin(ego.yaw)])
+    right = jnp.stack([-jnp.sin(ego.yaw), jnp.cos(ego.yaw)])
+    tl_states = traffic_light_states(town, state.time_s)
+    center = town.tl_stopline.mean(axis=1)
+    rel = center - ego.pos[None]
+    ahead = rel @ fwd
+    lat = jnp.abs(rel @ right)
+    aligned = jnp.abs(wrap_angle(town.tl_yaw - ego.yaw)) < jnp.pi / 3
+    red_ahead = jnp.any(
+        town.tl_valid
+        & (tl_states != TL_GREEN)
+        & aligned
+        & (ahead > 0.0)
+        & (ahead < 16.0)
+        & (lat < 3.5)
+    )
+    blocked_ahead = hazard_brake(cfg, state)
+    return jnp.where(red_ahead | blocked_ahead, 0.0, DESIRED_SPEED)
+
+
+def compute_reward(prev: WorldState, new: WorldState, events,
+                   desired_speed=DESIRED_SPEED) -> tuple[jax.Array, dict]:
     """Carla-roach-style dense driving reward (see module docstring):
-    progress + speed tracking − lane-position / heading deviation − off-road
-    meters − infraction events. The deviation terms are what keep the policy
-    off the curbs (their absence produced a 96% RC / 168 layout-collisions-
-    per-km corner-cutter in the first training run)."""
+    progress + speed tracking (vs the hazard-adaptive desired speed) −
+    lane-position / heading deviation − off-road meters − infraction events.
+    The deviation terms are what keep the policy off the curbs (their absence
+    produced a 96% RC / 168 layout-collisions-per-km corner-cutter in the
+    first training run)."""
     progress = (
         new.criteria.route_completion - prev.criteria.route_completion
     ) * new.route_len_m  # meters gained along the route
-    speed_err = jnp.abs(new.ego.speed - jnp.minimum(DESIRED_SPEED, 99.0))
+    speed_err = jnp.abs(new.ego.speed - desired_speed)
 
     # lane-position + heading terms vs the matched route point
     idx = new.criteria.route_idx
@@ -178,8 +210,7 @@ def make_ppo(cfg: Config, ppo_cfg: PPOConfig, town: TownMap, routes):
             cfg, town, routes[idx], rr, n_vehicles=ppo_cfg.n_vehicles
         )
 
-    def maybe_reset(state, rng, env_idx):
-        done = state.criteria.done
+    def maybe_reset(state, done, rng, env_idx):
         fresh = reset_env(env_idx, rng)
         return jax.tree.map(
             lambda f, s: jnp.where(done, f, s) if f.ndim == 0 else
@@ -213,11 +244,31 @@ def make_ppo(cfg: Config, ppo_cfg: PPOConfig, town: TownMap, routes):
             new_states, events = jax.vmap(
                 lambda s, c: step_world(cfg, town, s, c)
             )(states, ctrl)
-            rew, rcomps = jax.vmap(compute_reward)(states, new_states, events)
-            done = new_states.criteria.done
+            desired = jax.vmap(lambda s: hazard_desired_speed(cfg, town, s))(
+                states
+            )
+            rew, rcomps = jax.vmap(compute_reward)(
+                states, new_states, events, desired
+            )
+            rcomps["frac_hazard_stop"] = (desired == 0.0).astype(jnp.float32)
+            # terminal on infraction (carla-roach RL episodes end on any
+            # collision / red-light, not only on the leaderboard's
+            # blocked/deviation/timeout): sharp credit assignment, and the
+            # GAE bootstrap does not leak value across the reset
+            infraction = (
+                events.collision_vehicle
+                | events.collision_walker
+                | events.collision_static
+                | events.red_light
+            )
+            # training-only fast-blocked terminal: 30 s (longer than any red
+            # phase the hazard-stop holds for; the leaderboard's own 90 s
+            # criterion stays in criteria for eval parity)
+            stuck = new_states.criteria.blocked_s > 30.0
+            done = new_states.criteria.done | infraction | stuck
             # auto-reset finished worlds
             new_states = jax.vmap(maybe_reset)(
-                new_states, jax.random.split(rr, W), jnp.arange(W)
+                new_states, done, jax.random.split(rr, W), jnp.arange(W)
             )
             traj = {
                 "bv_u8": (bv * 255.0).astype(jnp.uint8),
