@@ -258,6 +258,31 @@ def compile_town(
     road_segs = np.asarray(road_segs, np.float32).reshape(-1, 5)
     lane_segs = np.asarray(lane_segs, np.float32).reshape(-1, 6)
 
+    # routes share roads heavily (a 256-route bank covers the town ~10x
+    # over): dedupe near-identical thick segments so the renderer's segment
+    # list stays small and nothing real falls off the capacity cap
+    def _dedupe_segs(segs: np.ndarray) -> np.ndarray:
+        if not len(segs):
+            return segs
+        mid = 0.5 * (segs[:, 0:2] + segs[:, 2:4])
+        d = segs[:, 2:4] - segs[:, 0:2]
+        ang = np.arctan2(d[:, 1], d[:, 0]) % np.pi  # undirected
+        key = np.stack(
+            [np.round(mid[:, 0] / 4.0), np.round(mid[:, 1] / 4.0),
+             np.round(ang / np.deg2rad(20.0))], axis=1
+        )
+        _, keep = np.unique(key, axis=0, return_index=True)
+        return segs[np.sort(keep)]
+
+    road_segs = _dedupe_segs(road_segs)
+    lane_segs = _dedupe_segs(lane_segs)
+    for name, n, cap in (("road_segs", len(road_segs), max_road_segs),
+                         ("lane_segs", len(lane_segs), max_lane_segs),
+                         ("lane_pts", len(lane_pts), max_lane_pts)):
+        if n > cap:
+            print(f"WARNING compile_town: {name} {n} > cap {cap} — "
+                  f"truncating (raise the cap; silent loss of world content)")
+
     # --- traffic lights: stopline raster if present, else junction
     # detection from route-polyline crossings ------------------------------
     stop_pos = np.zeros((0, 2), np.float32)

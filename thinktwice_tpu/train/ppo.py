@@ -261,10 +261,18 @@ def make_ppo(cfg: Config, ppo_cfg: PPOConfig, town: TownMap, routes):
                 | events.collision_static
                 | events.red_light
             )
-            # training-only fast-blocked terminal: 30 s (longer than any red
-            # phase the hazard-stop holds for; the leaderboard's own 90 s
-            # criterion stays in criteria for eval parity)
-            stuck = new_states.criteria.blocked_s > 30.0
+            # training-only fast-blocked terminal: 30 s standstill WITHOUT a
+            # hazard excuse (queues at reds / behind leads are legitimate and
+            # the hazard-stop rewards them — penalty-free resets here would
+            # make "park behind an NPC" a +r_speed exploit). Carries the
+            # blocked penalty; the leaderboard's own 90 s criterion stays in
+            # criteria for eval parity.
+            stuck = (new_states.criteria.blocked_s > 30.0) & (desired > 0.0)
+            rew = rew - P_TERMINAL_BLOCKED * stuck.astype(jnp.float32)
+            rcomps["p_blocked"] = (
+                rcomps["p_blocked"]
+                - P_TERMINAL_BLOCKED * stuck.astype(jnp.float32)
+            )
             done = new_states.criteria.done | infraction | stuck
             # auto-reset finished worlds
             new_states = jax.vmap(maybe_reset)(
