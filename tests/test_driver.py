@@ -92,3 +92,37 @@ def test_driver_rollout_scan(town, driver_setup):
     )(TINY, town, model, params, st, 10)
     assert int(final.tick) == 10
     assert np.isfinite(np.asarray(final.ego.pos)).all()
+
+
+def test_evaluate_routes_stateful_driver(town, driver_setup, tmp_path):
+    """The student eval path: evaluate_routes with a stateful policy carry
+    (scripts/eval_town05.py --agent student). Exercises carry batching,
+    per-segment threading, and the leaderboard document end-to-end."""
+    from thinktwice_tpu.harness.evaluator import evaluate_routes
+
+    model, params = driver_setup
+    policy = make_thinktwice_driver(TINY, model, params)
+
+    def policy_fn(cfg_, town_, state, carry):
+        return policy(cfg_, town_, state, carry)
+
+    out = str(tmp_path / "student_eval.json")
+    r = np.asarray(straight_route())
+    g = evaluate_routes(
+        TINY, town, [r, r], ["r0", "r1"],
+        policy_fn=policy_fn,
+        policy_init=lambda: driver_init(TINY, model.n_sweeps),
+        n_vehicles=2,
+        worlds_per_batch=2,
+        segment_steps=64,
+        max_steps=128,
+        out_path=out,
+    )
+    assert 0.0 <= g["scores"]["score_composed"] <= 100.0
+    import json
+
+    doc = json.load(open(out))
+    assert len(doc["_checkpoint"]["records"]) == 2
+    # per-route game durations are real tick counts, not the scan horizon
+    for rec in doc["_checkpoint"]["records"]:
+        assert 0.0 < rec["meta"]["duration_game"] <= 128 * 0.05 + 1e-6
