@@ -69,6 +69,8 @@ def main():
     ap.add_argument("--sweeps", type=int, default=2)
     ap.add_argument("--vehicles", type=int, default=24)
     ap.add_argument("--frames-per-chunk", type=int, default=12)
+    ap.add_argument("--worlds", type=int, default=4,
+                    help="vmapped rolling collection worlds per batch")
     ap.add_argument("--expert-ckpt", default="runs/roach_town05/ckpt")
     ap.add_argument("--out", default="runs/student_town05")
     ap.add_argument("--resume", action="store_true")
@@ -107,14 +109,14 @@ def main():
     batches = collect_stream(
         cfg, rparams, town, train_routes, jax.random.key(cfg.train.seed),
         frames_per_chunk=args.frames_per_chunk, n_vehicles=args.vehicles,
-        n_sweeps=args.sweeps,
+        n_sweeps=args.sweeps, n_worlds=args.worlds,
     )
 
     def val_batches_fn(n_chunks: int = 4):
         stream = collect_stream(
             cfg, rparams, town, val_routes, jax.random.key(999),
             frames_per_chunk=args.frames_per_chunk, n_vehicles=args.vehicles,
-            n_sweeps=args.sweeps,
+            n_sweeps=args.sweeps, n_worlds=2,
         )
         return [next(stream) for _ in range(n_chunks)]
 

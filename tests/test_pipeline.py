@@ -100,3 +100,31 @@ def test_train_on_collected(collected):
     assert np.isfinite(losses).all()
     # overfitting a single tiny batch must reduce the loss
     assert losses[-1] < losses[0], losses
+
+
+def test_collect_stream_multiworld(town):
+    """Vmapped multi-world stream: batches mix n_worlds rolling worlds and
+    worlds advance (persist) across chunks."""
+    from thinktwice_tpu.train.loop import collect_stream
+
+    policy = RoachPolicy()
+    rparams = policy.init(
+        jax.random.key(0),
+        jnp.zeros((1, TINY.birdview.n_channels, 192, 192)),
+        jnp.zeros((1, TINY.roach.state_dim)),
+    )
+    routes = jnp.stack([straight_route(), straight_route()])
+    stream = collect_stream(
+        TINY, rparams, town, routes, jax.random.key(3),
+        frames_per_chunk=6, n_vehicles=2, n_worlds=2,
+    )
+    b1 = next(stream)
+    b2 = next(stream)
+    n_per_world = 6 - TINY.model.pred_len  # 2 examples per world
+    assert b1["imgs"].shape[0] == 2 * n_per_world
+    assert np.isfinite(np.asarray(b1["imgs"])).all()
+    assert np.isfinite(np.asarray(b1["teacher_wp"])).all()
+    # the second chunk continues the same worlds further along the route
+    assert float(b2["speed"].mean()) >= 0.0
+    assert not np.allclose(np.asarray(b1["target_point"]),
+                           np.asarray(b2["target_point"]))

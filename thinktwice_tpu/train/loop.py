@@ -88,30 +88,66 @@ def collect_stream(
     frames_per_chunk: int = 16,
     n_vehicles: int = 8,
     n_sweeps: int = 1,
+    n_worlds: int = 1,
 ) -> Iterator[dict]:
     """Infinite stream of training batches from in-graph expert rollouts.
 
-    Each yield collects `frames_per_chunk` frames from one rolling world and
-    converts them to (frames_per_chunk - pred_len) examples. The world state
-    persists across chunks (so mid- and late-route data is collected); a
-    world only resets — onto the next route, round-robin — once its criteria
-    report done (terminal or route finished)."""
-    collect_j = jax.jit(collect_batch, static_argnums=(0, 4))
-    w = 0
-    st = None
-    while True:
-        if st is None or bool(st.criteria.done):
-            rng, sub = jax.random.split(rng)
-            st = reset_world(
-                cfg, town, routes[w % routes.shape[0]], sub,
-                n_vehicles=n_vehicles,
+    Each yield collects `frames_per_chunk` frames from `n_worlds` vmapped
+    rolling worlds (each on its own route — consecutive batches mix worlds,
+    so examples are not one temporally-correlated trajectory) and converts
+    them to n_worlds x (frames_per_chunk - pred_len - (n_sweeps-1)) examples.
+    World states persist across chunks (so mid- and late-route data is
+    collected); a world only resets — onto the next route, round-robin —
+    once its criteria report done (terminal or route finished)."""
+    collect_v = jax.jit(
+        jax.vmap(collect_batch, in_axes=(None, None, None, 0, None)),
+        static_argnums=(0, 4),
+    )
+    b2b_v = jax.jit(
+        jax.vmap(
+            lambda f, s: frames_to_batch(
+                cfg, f, s, cfg.model.pred_len, n_sweeps=n_sweeps
             )
-            w += 1
-        st, frames, sensors = collect_j(
-            cfg, roach_params, town, st, frames_per_chunk
         )
-        yield frames_to_batch(
-            cfg, frames, sensors, cfg.model.pred_len, n_sweeps=n_sweeps
+    )
+    reset_v = jax.jit(
+        jax.vmap(
+            lambda route, key: reset_world(
+                cfg, town, route, key, n_vehicles=n_vehicles
+            )
+        )
+    )
+
+    NR = routes.shape[0]
+    next_route = 0
+
+    def fresh_states(n):
+        nonlocal next_route, rng
+        idxs = [(next_route + i) % NR for i in range(n)]
+        next_route += n
+        rng, sub = jax.random.split(rng)
+        return reset_v(routes[jnp.asarray(idxs)], jax.random.split(sub, n))
+
+    states = fresh_states(n_worlds)
+    while True:
+        done = np.asarray(jax.device_get(states.criteria.done))
+        if done.any():
+            # round-robin the finished worlds onto the next routes
+            fresh = fresh_states(n_worlds)
+            dmask = jnp.asarray(done)
+            states = jax.tree.map(
+                lambda f, s: jnp.where(
+                    jnp.reshape(dmask, dmask.shape + (1,) * (f.ndim - 1)), f, s
+                ),
+                fresh, states,
+            )
+        states, frames, sensors = collect_v(
+            cfg, roach_params, town, states, frames_per_chunk
+        )
+        batch = b2b_v(frames, sensors)
+        # (W, B, ...) -> (W*B, ...): one training batch mixing all worlds
+        yield jax.tree.map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), batch
         )
 
 
