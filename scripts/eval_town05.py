@@ -32,7 +32,11 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from thinktwice_tpu.config import Config, SimConfig
-from thinktwice_tpu.harness.evaluator import build_route_scenarios, evaluate_routes
+from thinktwice_tpu.harness.evaluator import (
+    build_route_scenarios,
+    derive_map_triggers,
+    evaluate_routes,
+)
 from thinktwice_tpu.harness.route_parser import ScenarioTrigger, parse_routes_file
 from thinktwice_tpu.maps.compile_h5 import compile_town
 from thinktwice_tpu.maps.router import raster_planner
@@ -43,39 +47,6 @@ ROUTES = (
     "/root/reference/leaderboard/data/routes_for_evaluation/"
     "routes_town05_long.xml"
 )
-
-
-def derive_triggers(town, dense_route, n_walker_triggers=3):
-    """Scenario triggers from the imported map (junction approaches on the
-    route -> signalized-junction crossings; straights -> walker crossings)."""
-    triggers = []
-    tl_pos = np.asarray(town.tl_pos)[np.asarray(town.tl_valid)]
-    tl_yaw = np.asarray(town.tl_yaw)[np.asarray(town.tl_valid)]
-    pts = dense_route[:, :2]
-    for p, y in zip(tl_pos, tl_yaw):
-        d = np.linalg.norm(pts - p[None], axis=1)
-        k = int(np.argmin(d))
-        if d[k] > 8.0:
-            continue
-        # heading along route at the approach must roughly match
-        ryaw = dense_route[k, 2]
-        if abs(np.arctan2(np.sin(ryaw - y), np.cos(ryaw - y))) > 1.0:
-            continue
-        triggers.append(
-            ScenarioTrigger("Scenario7", p.astype(np.float64), np.rad2deg(y))
-        )
-    # walker crossings spread along the route
-    n = len(dense_route)
-    for f in np.linspace(0.2, 0.8, n_walker_triggers):
-        k = int(f * n)
-        triggers.append(
-            ScenarioTrigger(
-                "Scenario3",
-                dense_route[k, :2].astype(np.float64),
-                np.rad2deg(dense_route[k, 2]),
-            )
-        )
-    return triggers
 
 
 def main():
@@ -123,7 +94,7 @@ def main():
         if args.no_scenarios:
             scens.append(None)
         else:
-            trig = derive_triggers(town, dense)
+            trig = derive_map_triggers(town, dense)
             scens.append(build_route_scenarios(cfg, dense, trig))
 
     if args.agent == "expert":

@@ -29,6 +29,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from thinktwice_tpu.agents.roach import RoachPolicy
 from thinktwice_tpu.config import Config, SimConfig
+from thinktwice_tpu.harness.evaluator import (
+    build_route_scenarios,
+    derive_map_triggers,
+)
 from thinktwice_tpu.harness.route_parser import parse_routes_file
 from thinktwice_tpu.maps.compile_h5 import compile_town
 from thinktwice_tpu.maps.router import raster_planner
@@ -87,7 +91,8 @@ def main():
 
     cfg = Config(
         sim=SimConfig(
-            max_vehicles=max(args.vehicles, 8),
+            # +8 slots reserved above background traffic for scenario actors
+            max_vehicles=args.vehicles + 8,
             max_walkers=4,
             max_lights=256,
             max_stop_signs=32,
@@ -95,6 +100,22 @@ def main():
             max_scenarios=4,
         )
     )
+
+    # adversarial-scenario bank per route (the reference's collection runs
+    # with scenarios active, so the expert demonstrates reactions and the
+    # student sees walkers/crossing traffic in its training frames)
+    def scen_bank(route_arr):
+        scens = [
+            build_route_scenarios(
+                cfg, np.asarray(r), derive_map_triggers(town, np.asarray(r),
+                                                        n_walker_triggers=2)
+            )
+            for r in route_arr
+        ]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *scens)
+
+    train_scens = scen_bank(train_routes)
+    val_scens = scen_bank(val_routes)
 
     policy = RoachPolicy()
     rparams = policy.init(
@@ -109,14 +130,14 @@ def main():
     batches = collect_stream(
         cfg, rparams, town, train_routes, jax.random.key(cfg.train.seed),
         frames_per_chunk=args.frames_per_chunk, n_vehicles=args.vehicles,
-        n_sweeps=args.sweeps, n_worlds=args.worlds,
+        n_sweeps=args.sweeps, n_worlds=args.worlds, scenarios=train_scens,
     )
 
     def val_batches_fn(n_chunks: int = 4):
         stream = collect_stream(
             cfg, rparams, town, val_routes, jax.random.key(999),
             frames_per_chunk=args.frames_per_chunk, n_vehicles=args.vehicles,
-            n_sweeps=args.sweeps, n_worlds=2,
+            n_sweeps=args.sweeps, n_worlds=2, scenarios=val_scens,
         )
         return [next(stream) for _ in range(n_chunks)]
 

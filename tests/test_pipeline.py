@@ -114,9 +114,16 @@ def test_collect_stream_multiworld(town):
         jnp.zeros((1, TINY.roach.state_dim)),
     )
     routes = jnp.stack([straight_route(), straight_route()])
+    from thinktwice_tpu.harness.evaluator import build_route_scenarios
+    from thinktwice_tpu.harness.route_parser import ScenarioTrigger
+
+    r_np = np.asarray(straight_route())
+    trig = [ScenarioTrigger("Scenario3", r_np[100, :2].astype(np.float64), 0.0)]
+    scen = build_route_scenarios(TINY, r_np, trig)
+    scens = jax.tree.map(lambda *x: jnp.stack(x), *[scen, scen])
     stream = collect_stream(
         TINY, rparams, town, routes, jax.random.key(3),
-        frames_per_chunk=6, n_vehicles=2, n_worlds=2,
+        frames_per_chunk=6, n_vehicles=2, n_worlds=2, scenarios=scens,
     )
     b1 = next(stream)
     b2 = next(stream)

@@ -32,6 +32,43 @@ from thinktwice_tpu.sim.state import WorldState
 from thinktwice_tpu.sim.step import step_world
 
 
+def derive_map_triggers(town, dense_route: np.ndarray,
+                        n_walker_triggers: int = 3):
+    """Scenario triggers derived from the imported map itself: a
+    signalized-junction crossing at every TL approach the route passes, plus
+    walker crossings spread along the straights. The reference samples these
+    from all_towns_traffic_scenarios*.json, which is NOT committed upstream
+    (SURVEY §2.9 X4) — the map is the next-best ground truth."""
+    from thinktwice_tpu.harness.route_parser import ScenarioTrigger
+
+    triggers = []
+    tl_pos = np.asarray(town.tl_pos)[np.asarray(town.tl_valid)]
+    tl_yaw = np.asarray(town.tl_yaw)[np.asarray(town.tl_valid)]
+    pts = dense_route[:, :2]
+    for p, y in zip(tl_pos, tl_yaw):
+        d = np.linalg.norm(pts - p[None], axis=1)
+        k = int(np.argmin(d))
+        if d[k] > 8.0:
+            continue
+        ryaw = dense_route[k, 2]
+        if abs(np.arctan2(np.sin(ryaw - y), np.cos(ryaw - y))) > 1.0:
+            continue
+        triggers.append(
+            ScenarioTrigger("Scenario7", p.astype(np.float64), np.rad2deg(y))
+        )
+    n = len(dense_route)
+    for f in np.linspace(0.2, 0.8, n_walker_triggers):
+        k = int(f * n)
+        triggers.append(
+            ScenarioTrigger(
+                "Scenario3",
+                dense_route[k, :2].astype(np.float64),
+                np.rad2deg(dense_route[k, 2]),
+            )
+        )
+    return triggers
+
+
 def build_route_scenarios(cfg: Config, dense_route: np.ndarray, triggers):
     """ScenarioTrigger list (harness.route_parser) -> ScenarioState for one
     route (≡ RouteScenario._build_scenario_instances). Walker-class scenarios

@@ -89,6 +89,7 @@ def collect_stream(
     n_vehicles: int = 8,
     n_sweeps: int = 1,
     n_worlds: int = 1,
+    scenarios=None,        # optional (NR,)-stacked ScenarioState bank
 ) -> Iterator[dict]:
     """Infinite stream of training batches from in-graph expert rollouts.
 
@@ -112,11 +113,13 @@ def collect_stream(
     )
     reset_v = jax.jit(
         jax.vmap(
-            lambda route, key: reset_world(
-                cfg, town, route, key, n_vehicles=n_vehicles
+            lambda route, key, scen: reset_world(
+                cfg, town, route, key, n_vehicles=n_vehicles, scenario=scen
             )
         )
     )
+
+    from thinktwice_tpu.sim.state import zero_scenarios
 
     NR = routes.shape[0]
     next_route = 0
@@ -126,7 +129,15 @@ def collect_stream(
         idxs = [(next_route + i) % NR for i in range(n)]
         next_route += n
         rng, sub = jax.random.split(rng)
-        return reset_v(routes[jnp.asarray(idxs)], jax.random.split(sub, n))
+        ids = jnp.asarray(idxs)
+        if scenarios is not None:
+            scen = jax.tree.map(lambda x: x[ids], scenarios)
+        else:
+            z = zero_scenarios(cfg)
+            scen = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (n,) + x.shape), z
+            )
+        return reset_v(routes[ids], jax.random.split(sub, n), scen)
 
     states = fresh_states(n_worlds)
     while True:
