@@ -51,7 +51,8 @@ ROUTES = (
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--agent", choices=["expert", "student"], default="expert")
+    ap.add_argument("--agent", choices=["expert", "student", "autopilot"],
+                    default="expert")
     ap.add_argument("--ckpt", default="runs/roach_ppo/ckpt")
     ap.add_argument("--vehicles", type=int, default=120)
     ap.add_argument("--routes", type=int, default=10)
@@ -97,7 +98,12 @@ def main():
             trig = derive_map_triggers(town, dense)
             scens.append(build_route_scenarios(cfg, dense, trig))
 
-    if args.agent == "expert":
+    if args.agent == "autopilot":
+        from thinktwice_tpu.agents.autopilot import autopilot_control
+
+        policy_fn = autopilot_control
+        policy_init = None
+    elif args.agent == "expert":
         from thinktwice_tpu.agents.expert import expert_control
         from thinktwice_tpu.agents.roach import RoachPolicy
 

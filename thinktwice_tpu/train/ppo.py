@@ -143,9 +143,14 @@ def compute_reward(prev: WorldState, new: WorldState, events,
     )
     offlane_delta = new.criteria.dist_offlane - prev.criteria.dist_offlane
 
+    # hazard stops must pay less than clear driving: with equal weight,
+    # "camp behind a parked NPC / red queue forever" banks the same r_speed
+    # as completing the route (observed as a 0.6 m/s crawling policy with
+    # 24% hazard-stop steps) — half-weight while the target speed is 0
+    speed_w = jnp.where(desired_speed > 0.0, R_SPEED, 0.5 * R_SPEED)
     comps = {
         "r_progress": 1.0 * progress,
-        "r_speed": R_SPEED * (1.0 - speed_err / DESIRED_SPEED),
+        "r_speed": speed_w * (1.0 - speed_err / DESIRED_SPEED),
         "p_lateral": -P_LATERAL * jnp.clip(lat - 0.5, 0.0, 4.0),
         "p_heading": -P_HEADING * jnp.clip(dyaw, 0.0, 1.5),
         "p_offroad": -P_OFFROAD * offlane_delta,
@@ -157,6 +162,10 @@ def compute_reward(prev: WorldState, new: WorldState, events,
         "p_red_light": -P_RED_LIGHT * events.red_light.astype(jnp.float32),
         "p_blocked": -P_TERMINAL_BLOCKED * (
             new.criteria.blocked & ~prev.criteria.blocked
+        ).astype(jnp.float32),
+        # crawling to the route timeout is a failure, not a neutral exit
+        "p_timeout": -P_TERMINAL_BLOCKED * (
+            new.criteria.timeout & ~prev.criteria.timeout
         ).astype(jnp.float32),
     }
     r = sum(comps.values())
