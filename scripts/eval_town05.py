@@ -37,7 +37,7 @@ from thinktwice_tpu.harness.evaluator import (
     derive_map_triggers,
     evaluate_routes,
 )
-from thinktwice_tpu.harness.route_parser import ScenarioTrigger, parse_routes_file
+from thinktwice_tpu.harness.route_parser import parse_routes_file
 from thinktwice_tpu.maps.compile_h5 import compile_town
 from thinktwice_tpu.maps.router import raster_planner
 from thinktwice_tpu.train import checkpoint as ckpt_lib

@@ -41,10 +41,16 @@ def derive_map_triggers(town, dense_route: np.ndarray,
     (SURVEY §2.9 X4) — the map is the next-best ground truth."""
     from thinktwice_tpu.harness.route_parser import ScenarioTrigger
 
-    triggers = []
+    # effective length: padded routes repeat the final point — triggers in
+    # the padding would all collapse onto the goal
+    steps = np.linalg.norm(np.diff(dense_route[:, :2], axis=0), axis=1)
+    moving = np.nonzero(steps > 1e-6)[0]
+    n = (int(moving[-1]) + 2) if len(moving) else len(dense_route)
+
+    tls = []
     tl_pos = np.asarray(town.tl_pos)[np.asarray(town.tl_valid)]
     tl_yaw = np.asarray(town.tl_yaw)[np.asarray(town.tl_valid)]
-    pts = dense_route[:, :2]
+    pts = dense_route[:n, :2]
     for p, y in zip(tl_pos, tl_yaw):
         d = np.linalg.norm(pts - p[None], axis=1)
         k = int(np.argmin(d))
@@ -53,19 +59,27 @@ def derive_map_triggers(town, dense_route: np.ndarray,
         ryaw = dense_route[k, 2]
         if abs(np.arctan2(np.sin(ryaw - y), np.cos(ryaw - y))) > 1.0:
             continue
-        triggers.append(
+        tls.append(
             ScenarioTrigger("Scenario7", p.astype(np.float64), np.rad2deg(y))
         )
-    n = len(dense_route)
+    walkers = []
     for f in np.linspace(0.2, 0.8, n_walker_triggers):
         k = int(f * n)
-        triggers.append(
+        walkers.append(
             ScenarioTrigger(
                 "Scenario3",
                 dense_route[k, :2].astype(np.float64),
                 np.rad2deg(dense_route[k, 2]),
             )
         )
+    # interleave so the max_scenarios cut in build_route_scenarios trims
+    # both kinds instead of silently dropping every walker on TL-heavy routes
+    triggers = []
+    for i in range(max(len(tls), len(walkers))):
+        if i < len(tls):
+            triggers.append(tls[i])
+        if i < len(walkers):
+            triggers.append(walkers[i])
     return triggers
 
 

@@ -239,12 +239,22 @@ def compile_town(
     for poly in route_polylines:
         dense = densify_polyline(np.asarray(poly)[:, :2], spacing=2.0)
         start = len(lane_pts)
+        if start + len(dense) > max_lane_pts:
+            # keep whole route chains only: a chain cut mid-route would
+            # leave lane_next successors dangling into the padding (NPCs
+            # steering at the world origin / build_graph IndexError)
+            print(
+                f"WARNING compile_town: lane_pts capacity {max_lane_pts} "
+                f"reached — dropping remaining routes from the lane network"
+            )
+            break
         for k in range(len(dense)):
             d = dense[min(k + 1, len(dense) - 1)] - dense[max(k - 1, 0)]
             lane_pts.append(dense[k])
             lane_yaw.append(np.arctan2(d[1], d[0]))
             lane_next.append(len(lane_pts))
         lane_next[-1] = start  # loop each route
+    for poly in route_polylines:
         # thick road segments every ~10 m along the polyline
         coarse = densify_polyline(np.asarray(poly)[:, :2], spacing=10.0)
         for k in range(len(coarse) - 1):
@@ -261,12 +271,14 @@ def compile_town(
     # routes share roads heavily (a 256-route bank covers the town ~10x
     # over): dedupe near-identical thick segments so the renderer's segment
     # list stays small and nothing real falls off the capacity cap
-    def _dedupe_segs(segs: np.ndarray) -> np.ndarray:
+    def _dedupe_segs(segs: np.ndarray, directed: bool = False) -> np.ndarray:
         if not len(segs):
             return segs
         mid = 0.5 * (segs[:, 0:2] + segs[:, 2:4])
         d = segs[:, 2:4] - segs[:, 0:2]
-        ang = np.arctan2(d[:, 1], d[:, 0]) % np.pi  # undirected
+        ang = np.arctan2(d[:, 1], d[:, 0])
+        if not directed:
+            ang = ang % np.pi
         key = np.stack(
             [np.round(mid[:, 0] / 4.0), np.round(mid[:, 1] / 4.0),
              np.round(ang / np.deg2rad(20.0))], axis=1
@@ -274,8 +286,10 @@ def compile_town(
         _, keep = np.unique(key, axis=0, return_index=True)
         return segs[np.sort(keep)]
 
+    # road fill is undirected; lane-marking centerlines keep direction so
+    # adjacent opposite-direction lanes do not merge into one marking
     road_segs = _dedupe_segs(road_segs)
-    lane_segs = _dedupe_segs(lane_segs)
+    lane_segs = _dedupe_segs(lane_segs, directed=True)
     for name, n, cap in (("road_segs", len(road_segs), max_road_segs),
                          ("lane_segs", len(lane_segs), max_lane_segs),
                          ("lane_pts", len(lane_pts), max_lane_pts)):

@@ -154,6 +154,11 @@ class RasterPlanner:
             ~self._road_fine, return_indices=True
         )
         self._snap_idx = self._snap_idx.astype(np.int32)
+        # fine edge clearance in meters (the coarse edge_m cannot resolve
+        # below one 2 m cell, so sub-cell clearance thresholds need this)
+        self._edge_fine_m = (
+            ndimage.distance_transform_edt(self._road_fine) / self.ppm
+        ).astype(np.float32)
 
     # --- coordinate helpers ------------------------------------------------
     def _to_cell(self, xy) -> tuple[int, int]:
@@ -225,11 +230,12 @@ class RasterPlanner:
         return None
 
     def _on_road(self, xy: np.ndarray, min_edge_m: float = 0.1) -> np.ndarray:
-        """(K,) bool: world points on drivable cells with edge clearance."""
-        p = (np.asarray(xy, np.float64) - self.offset[None]) / self.cell_m
-        r = np.clip(p[:, 1].astype(int), 0, self.drivable.shape[0] - 1)
-        c = np.clip(p[:, 0].astype(int), 0, self.drivable.shape[1] - 1)
-        return self.drivable[r, c] & (self.edge_m[r, c] >= min_edge_m)
+        """(K,) bool: world points on the road with >= min_edge_m of fine-
+        raster clearance to the road edge."""
+        p = (np.asarray(xy, np.float64) - self.offset[None]) * self.ppm
+        r = np.clip(p[:, 1].astype(int), 0, self._road_fine.shape[0] - 1)
+        c = np.clip(p[:, 0].astype(int), 0, self._road_fine.shape[1] - 1)
+        return self._road_fine[r, c] & (self._edge_fine_m[r, c] >= min_edge_m)
 
     def plan(
         self,
@@ -239,7 +245,11 @@ class RasterPlanner:
         max_len: int | None = None,
     ) -> np.ndarray:
         """Dense on-road route through the posed keypoints -> (N, 3)
-        (x, y, yaw_rad), same contract as maps.town.interpolate_route."""
+        (x, y, yaw_rad), same contract as maps.town.interpolate_route.
+
+        keypoints_yaw_deg is accepted for interface parity with
+        interpolate_route but unused: the driving side is learned from the
+        keypoints' lateral offsets, and headings come from the planned path."""
         kp = np.asarray(keypoints_xy, np.float64)
         legs: list[np.ndarray] = []
         for i in range(len(kp) - 1):

@@ -124,10 +124,18 @@ def collect_stream(
     NR = routes.shape[0]
     next_route = 0
 
-    def fresh_states(n):
+    def fresh_states(n, done_mask=None):
+        """Full-batch vmapped reset (one compiled program); fresh routes are
+        consumed only for the worlds that actually reset, so the route
+        round-robin is not stride-aliased by the batch size."""
         nonlocal next_route, rng
-        idxs = [(next_route + i) % NR for i in range(n)]
-        next_route += n
+        idxs = []
+        for i in range(n):
+            if done_mask is None or done_mask[i]:
+                idxs.append(next_route % NR)
+                next_route += 1
+            else:
+                idxs.append(0)  # discarded by the jnp.where merge
         rng, sub = jax.random.split(rng)
         ids = jnp.asarray(idxs)
         if scenarios is not None:
@@ -144,7 +152,7 @@ def collect_stream(
         done = np.asarray(jax.device_get(states.criteria.done))
         if done.any():
             # round-robin the finished worlds onto the next routes
-            fresh = fresh_states(n_worlds)
+            fresh = fresh_states(n_worlds, done)
             dmask = jnp.asarray(done)
             states = jax.tree.map(
                 lambda f, s: jnp.where(
