@@ -134,7 +134,14 @@ def main():
         model = make_model(cfg, backbone_depth=args.backbone,
                            n_sweeps=args.sweeps)
         mparams = init_model_params(cfg, model, jax.random.key(0))
-        mparams = ckpt_lib.restore_pytree(args.ckpt, mparams)
+        # train() checkpoints a full TrainState via CheckpointManager —
+        # restore through the same layout and keep the params
+        from thinktwice_tpu.train.train_step import create_train_state
+
+        template = create_train_state(cfg, mparams)
+        mparams = ckpt_lib.restore_train_state(
+            os.path.abspath(args.ckpt), template
+        ).params
         print(f"loaded student from {args.ckpt}")
         drv_policy = make_thinktwice_driver(cfg, model, mparams)
 
