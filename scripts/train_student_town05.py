@@ -151,6 +151,7 @@ def main():
         augment_ida=True,
         val_batches_fn=val_batches_fn,
         eval_every=args.eval_every,
+        ckpt_every=250,
     )
 
 
