@@ -55,6 +55,9 @@ P_COLLISION = 10.0
 P_RED_LIGHT = 5.0
 P_OFFROAD = 2.0
 P_TERMINAL_BLOCKED = 5.0
+P_TIME = 0.1           # constant per-step cost: sitting anywhere strictly
+                       # loses to progressing (waiting out a ~17 s red costs
+                       # ~1.7 < the -5 infraction, so lights are still obeyed)
 
 
 def _beta_sample_and_logp(rng, alpha, beta):
@@ -167,6 +170,7 @@ def compute_reward(prev: WorldState, new: WorldState, events,
         "p_timeout": -P_TERMINAL_BLOCKED * (
             new.criteria.timeout & ~prev.criteria.timeout
         ).astype(jnp.float32),
+        "p_time": -P_TIME * jnp.ones(()),
     }
     r = sum(comps.values())
     return r, comps
