@@ -187,3 +187,48 @@ def test_determinism(small_cfg, town):
     a2, t2 = run()
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_array_equal(t1, t2)
+
+
+def test_npc_loop_jump_teleports(small_cfg, town):
+    """An NPC whose lane successor is a route-loop link teleports to it
+    (clear landing) instead of driving cross-country toward it."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from thinktwice_tpu.sim.reset import reset_world
+    from thinktwice_tpu.sim.step import step_world
+    from tests.test_pipeline import straight_route
+
+    st = reset_world(small_cfg, town, straight_route(), jax.random.key(0),
+                     n_vehicles=1)
+    lane_pts = np.asarray(town.lane_pts)
+    lane_next = np.asarray(town.lane_next)
+    valid = np.asarray(town.lane_valid)
+    # synthesize a loop link (imported towns chain each route back to its
+    # start; the grid town's lanes are contiguous, so patch one in)
+    vidx = np.nonzero(valid)[0]
+    k = int(vidx[0])
+    far = vidx[np.argmax(np.linalg.norm(lane_pts[vidx] - lane_pts[k], axis=1))]
+    town = dataclasses.replace(
+        town, lane_next=town.lane_next.at[k].set(int(far))
+    )
+    tgt = lane_pts[int(far)]
+
+    tr = st.traffic
+    pos = tr.pos.at[0].set(jnp.asarray(lane_pts[k]))
+    tr = dataclasses.replace(
+        tr,
+        pos=pos,
+        wp_idx=tr.wp_idx.at[0].set(k),
+        active=tr.active.at[0].set(True),
+        speed=tr.speed.at[0].set(0.0),
+    )
+    # put the ego far away so the landing is clear
+    ego = dataclasses.replace(st.ego, pos=jnp.asarray([1e5, 1e5]))
+    st = dataclasses.replace(st, traffic=tr, ego=ego)
+    st2, _ = jax.jit(lambda s: step_world(small_cfg, town, s, jnp.zeros(3)))(st)
+    moved = float(jnp.linalg.norm(st2.traffic.pos[0] - jnp.asarray(tgt)))
+    assert moved < 3.0, f"NPC should land on the loop target, {moved} m away"

@@ -107,7 +107,7 @@ def step_world(
 
     # --- traffic -----------------------------------------------------------
     tr = scen_traffic
-    yaw_rate, accel, new_wp = traffic_policy(
+    yaw_rate, accel, new_wp, loop_jump = traffic_policy(
         sim,
         town,
         tl_states,
@@ -138,6 +138,24 @@ def step_world(
     t_pos, t_yaw, t_speed = point_mass_step(
         tr.pos, tr.yaw, tr.speed, yaw_rate, accel, sim.dt
     )
+    # loop-jump teleport (≡ CARLA TrafficManager respawn at lane ends): move
+    # the NPC to its successor waypoint when that is a route-loop link — but
+    # only if the landing spot is clear of the ego and other vehicles; until
+    # then the NPC holds at the route end and retries
+    jump_to = town.lane_pts[new_wp]
+    clear_ego = jnp.linalg.norm(jump_to - state.ego.pos[None], axis=-1) > 25.0
+    d_pairs = jnp.linalg.norm(jump_to[:, None] - t_pos[None, :], axis=-1)
+    not_self = ~jnp.eye(d_pairs.shape[0], dtype=bool)
+    clear_veh = jnp.all(
+        (d_pairs > 8.0) | ~tr.active[None, :] | ~not_self, axis=1
+    )
+    do_jump = loop_jump & ~scripted_mask & tr.active
+    teleport = do_jump & clear_ego & clear_veh
+    hold = do_jump & ~teleport
+    t_pos = jnp.where(teleport[:, None], jump_to, t_pos)
+    t_pos = jnp.where(hold[:, None], tr.pos, t_pos)
+    t_yaw = jnp.where(teleport, town.lane_yaw[new_wp], t_yaw)
+    t_speed = jnp.where(teleport | hold, 0.0, t_speed)
     active_f = tr.active
     traffic = TrafficState(
         pos=jnp.where(active_f[:, None], t_pos, tr.pos),

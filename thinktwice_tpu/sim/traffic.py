@@ -145,4 +145,11 @@ def traffic_policy(
     accel = jnp.clip((v_des - veh_speed) / 0.5, -cfg.npc_decel, cfg.npc_accel)
 
     new_wp = _advance_wp(town, veh_wp, veh_pos)
-    return yaw_rate, accel, new_wp
+    # route-bank loop links: the lane network chains each route back to its
+    # start, so a successor far from the vehicle is a loop jump, not lane
+    # continuity — chasing it would drive the NPC cross-country through
+    # buildings (ghost traffic). The step teleports these instead.
+    loop_jump = (new_wp != veh_wp) & (
+        jnp.linalg.norm(town.lane_pts[new_wp] - veh_pos, axis=-1) > 6.0
+    )
+    return yaw_rate, accel, new_wp, loop_jump
