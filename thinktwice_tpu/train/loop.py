@@ -45,8 +45,15 @@ def model_loss_fn(cfg: Config, model: ThinkTwiceModel):
     K = jnp.asarray(rig_lib.intrinsics(cfg.camera))
     e2i = jnp.asarray(rig_lib.ego_to_img(cfg.camera))
 
+    # whole-model remat: the backward pass recomputes the forward instead of
+    # keeping every activation live — the full train step (ResNet50 x 4 cams,
+    # cascaded decoder + teacher pass, all distillation losses) needs ~20 GB
+    # of retained activations otherwise, over the 15.75 GB HBM of one v5e
+    # chip; the recompute costs ~1/3 more FLOPs and fits comfortably
+    apply_remat = jax.checkpoint(model.apply)
+
     def loss_fn(params, batch):
-        outs = model.apply(
+        outs = apply_remat(
             params,
             batch["imgs"], batch["points"], batch["points_mask"],
             batch["speed"], batch["target_point"], batch["command"],
