@@ -112,6 +112,7 @@ def main():
             trig = derive_map_triggers(town, dense)
             scens.append(build_route_scenarios(cfg, dense, trig))
 
+    policy_params = None
     if args.agent == "autopilot":
         from thinktwice_tpu.agents.autopilot import autopilot_control
 
@@ -157,10 +158,12 @@ def main():
             os.path.abspath(args.ckpt), template
         ).params
         print(f"loaded student from {args.ckpt}")
-        drv_policy = make_thinktwice_driver(cfg, model, mparams)
+        drv_policy = make_thinktwice_driver(cfg, model, None)
 
-        def policy_fn(cfg_, town_, state, carry):
-            return drv_policy(cfg_, town_, state, carry)
+        def policy_fn(cfg_, town_, state, carry, params):
+            return drv_policy(cfg_, town_, state, carry, params)
+
+        policy_params = mparams  # jit argument, not inlined constants
 
         def policy_init():
             return driver_init(cfg, model.n_sweeps)
@@ -169,6 +172,7 @@ def main():
         cfg, town, routes, ids,
         policy_fn=policy_fn,
         policy_init=policy_init,
+        policy_params=policy_params,
         n_vehicles=args.vehicles,
         worlds_per_batch=args.worlds_per_batch,
         segment_steps=args.segment,

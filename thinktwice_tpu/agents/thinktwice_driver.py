@@ -84,14 +84,20 @@ def _target_point(state: WorldState, lookahead_m: float = 50.0):
     return jnp.stack([rel[0] * c - rel[1] * s, rel[0] * s + rel[1] * c])
 
 
-def make_thinktwice_driver(cfg: Config, model: ThinkTwiceModel, params):
-    """Returns (policy_fn(cfg, town, state, driver) -> (control, driver'))."""
+def make_thinktwice_driver(cfg: Config, model: ThinkTwiceModel, params=None):
+    """Returns (policy_fn(cfg, town, state, driver[, params]) ->
+    (control, driver')). Pass params=None here and supply them per call
+    (harness.evaluator's policy_params) so the ~400 MB parameter tree rides
+    into jit as an argument instead of being inlined as HLO constants —
+    constant-embedding blew the remote-compile request size limit."""
     c2e = jnp.asarray(rig_lib.cam_to_ego(cfg.camera))
     K = jnp.asarray(rig_lib.intrinsics(cfg.camera))
     e2i = jnp.asarray(rig_lib.ego_to_img(cfg.camera))
     n_sweeps = model.n_sweeps
 
-    def policy_fn(cfg_, town: TownMap, state: WorldState, driver: DriverState):
+    def policy_fn(cfg_, town: TownMap, state: WorldState, driver: DriverState,
+                  call_params=None):
+        p_ = call_params if call_params is not None else params
         cams = cameras_from_state(cfg.camera, town, state)
         pts, pts_mask = lidar_from_state(cfg.lidar, town, state)
         rgb_now = cams["rgb"]
@@ -142,7 +148,7 @@ def make_thinktwice_driver(cfg: Config, model: ThinkTwiceModel, params):
         )
 
         outs = model.apply(
-            params,
+            p_,
             imgs,
             pts5[None],
             pts_mask_m[None],

@@ -144,6 +144,9 @@ def evaluate_routes(
     seed: int = 0,
     scenarios: Sequence | None = None,  # optional per-route ScenarioState
     policy_init: Callable | None = None,  # () -> per-world policy carry
+    policy_params=None,    # optional pytree passed to policy_fn per call
+                           # (jit argument, NOT inlined constants — large
+                           # model params otherwise blow the compile size)
     segment_steps: int = 1024,
     verbose: bool = False,
     weathers: Sequence | None = None,   # optional per-route (10,) params
@@ -181,12 +184,19 @@ def evaluate_routes(
             )
         )(routes_b, keys_b, scen_b, weather_b)
 
-    def run_segment(states, carries):
+    pass_params = policy_params is not None
+
+    def run_segment(states, carries, pp):
         def one(st, pc):
             def body(carry, _):
                 s, p = carry
                 if stateful:
-                    ctrl, p = policy_fn(cfg, town, s, p)
+                    if pass_params:
+                        ctrl, p = policy_fn(cfg, town, s, p, pp)
+                    else:
+                        ctrl, p = policy_fn(cfg, town, s, p)
+                elif pass_params:
+                    ctrl = policy_fn(cfg, town, s, pp)
                 else:
                     ctrl = policy_fn(cfg, town, s)
                 s2, _ = step_world(cfg, town, s, ctrl)
@@ -262,8 +272,9 @@ def evaluate_routes(
         else:
             carries = jnp.zeros((pad_to,))
         steps_run = 0
+        pp = policy_params if pass_params else jnp.zeros(())
         while steps_run < n_steps:
-            states, carries = seg_j(states, carries)
+            states, carries = seg_j(states, carries, pp)
             steps_run += segment_steps
             flags = np.asarray(jax.device_get(states.criteria.done))
             if verbose:
