@@ -2,9 +2,19 @@
 
 The in-graph analog of the reference's hand-written expert
 (leaderboard/team_code/auto_pilot.py — PID route following with hazard and
-red-light stops). Used to validate the closed-loop harness and as a traffic
-baseline: it should complete routes with a high Driving Score without any
-learned weights.
+red-light stops). It has full privileged state, so it doubles as (a) the
+harness-validation baseline and (b) a teacher for behavior-cloning the Roach
+policy on long multi-junction routes.
+
+Control law:
+- lateral: pure pursuit on an arc-length lookahead point (speed-adaptive)
+  plus a cross-track correction term, so junction turns track the planned
+  lane instead of cutting the chord over the curb;
+- longitudinal: v_des = min(cruise, curve slowdown, red-light stop profile,
+  stop-sign stop profile, leader gap profile), served by a simple
+  throttle/brake law;
+- anti-deadlock creep: blocked > 25 s with a clear-ish path ahead -> creep
+  forward (transfuser-style creep, thinktwice_agent.py:500-510).
 """
 
 from __future__ import annotations
@@ -17,41 +27,92 @@ from thinktwice_tpu.maps.town import TownMap, traffic_light_states
 from thinktwice_tpu.sim.state import WorldState
 from thinktwice_tpu.sim.traffic import _front_gap, _red_light_dist
 
-CRUISE = 5.0
-LOOKAHEAD = 5.0
+CRUISE = 6.0
+COMFORT_DECEL = 3.0      # m/s^2 used for stop-distance speed profiles
+
+
+def _stop_profile(dist, margin):
+    """Speed that comfortably stops `margin` m before a point `dist` m ahead."""
+    d = jnp.maximum(dist - margin, 0.0)
+    return jnp.sqrt(2.0 * COMFORT_DECEL * d)
 
 
 def autopilot_control(cfg: Config, town: TownMap, state: WorldState):
     """-> (3,) control (steer, throttle, brake)."""
     ego = state.ego
+    route = state.route
+    cum = state.route_cumlen
     idx = state.criteria.route_idx
-    # target point ~LOOKAHEAD meters ahead along the route
-    tgt_idx = jnp.clip(idx + int(LOOKAHEAD), 0, state.route.shape[0] - 1)
-    target = state.route[tgt_idx, :2]
+    n = route.shape[0]
+
+    # ---- lateral: arc-length pure pursuit + cross-track -------------------
+    L = jnp.clip(2.5 + 0.7 * ego.speed, 3.0, 8.0)
+    tidx = jnp.clip(jnp.searchsorted(cum, cum[idx] + L), 0, n - 1)
+    target = route[tidx, :2]
     to_t = target - ego.pos
     bearing = jnp.arctan2(to_t[1], to_t[0])
     err = wrap_angle(bearing - ego.yaw)
-    steer = jnp.clip(2.5 * err, -1.0, 1.0)
+    ryaw = route[idx, 2]
+    nvec = jnp.stack([-jnp.sin(ryaw), jnp.cos(ryaw)])
+    xtrack = jnp.dot(ego.pos - route[idx, :2], nvec)   # +: ego left of route
+    steer = jnp.clip(2.2 * err - 0.10 * xtrack, -1.0, 1.0)
 
-    # hazards: nearest actor in the forward corridor + red stop lines
+    # ---- curvature slowdown ----------------------------------------------
+    def turn_ahead(meters):
+        j = jnp.clip(jnp.searchsorted(cum, cum[idx] + meters), 0, n - 1)
+        return jnp.abs(wrap_angle(route[j, 2] - route[idx, 2]))
+
+    t10, t20 = turn_ahead(10.0), turn_ahead(20.0)
+    v_curve = jnp.where(t10 > 0.5, 2.5, jnp.where(t10 > 0.25, 3.5, CRUISE))
+    v_curve = jnp.minimum(
+        v_curve, jnp.where(t20 > 0.5, 4.0, CRUISE)
+    )
+
+    # ---- leader / crossing-actor gap -------------------------------------
     all_pos = jnp.concatenate([state.traffic.pos, state.walkers.pos], axis=0)
+    all_yaw = jnp.concatenate([state.traffic.yaw, state.walkers.yaw], axis=0)
     all_ext = jnp.concatenate([state.traffic.extent, state.walkers.extent], axis=0)
     all_act = jnp.concatenate([state.traffic.active, state.walkers.active], axis=0)
     gap = _front_gap(
         ego.pos[None], ego.yaw[None], ego.speed[None],
-        all_pos, all_ext, all_act,
+        all_pos, all_yaw, all_ext, all_act,
         jnp.zeros((1, all_pos.shape[0]), bool),
     )[0]
+    v_gap = jnp.clip((gap - 4.0) / 1.2, 0.0, CRUISE)
+
+    # ---- red lights -------------------------------------------------------
     tl_states = traffic_light_states(town, state.time_s)
     d_red = _red_light_dist(town, tl_states, ego.pos[None], ego.yaw[None])[0]
+    v_red = jnp.where(d_red < 30.0, _stop_profile(d_red, 3.0), CRUISE)
 
-    stop_dist = jnp.minimum(gap, jnp.where(d_red < 20.0, d_red, 1e4))
-    # brake hard if obstruction closer than a speed-dependent envelope
-    envelope = 4.0 + ego.speed * 1.0
-    must_brake = stop_dist < envelope
-    v_des = jnp.where(stop_dist < envelope * 2.0, CRUISE * 0.4, CRUISE)
+    # ---- stop signs: stop once in the zone, then proceed ------------------
+    d_stop = jnp.linalg.norm(town.stop_pos - ego.pos[None], axis=-1)
+    fwd = jnp.stack([jnp.cos(ego.yaw), jnp.sin(ego.yaw)])
+    ahead = (town.stop_pos - ego.pos[None]) @ fwd
+    aligned = jnp.abs(wrap_angle(town.stop_yaw - ego.yaw)) < jnp.pi / 3
+    pending = (
+        town.stop_valid & aligned & (ahead > -1.0) & (d_stop < 12.0)
+        & ~state.criteria.stop_has_stopped
+    )
+    d_sign = jnp.min(jnp.where(pending, d_stop, 1e4))
+    v_sign = jnp.where(d_sign < 12.0, _stop_profile(d_sign, 1.5), CRUISE)
 
-    throttle = jnp.where(ego.speed < v_des, 0.75, 0.0)
-    throttle = jnp.where(must_brake, 0.0, throttle)
-    brake = must_brake | (ego.speed > v_des + 1.5)
+    v_des = jnp.minimum(
+        jnp.minimum(v_curve, v_gap), jnp.minimum(v_red, v_sign)
+    )
+
+    # ---- anti-deadlock creep ---------------------------------------------
+    # blocked a long time, nothing physically within 3 m, no red line closer
+    # than 6 m: creep forward (the world's recycle rule will clear whatever
+    # queue caused it; without creep the ego never re-probes the gap).
+    creep = (
+        (state.criteria.blocked_s > 25.0) & (gap > 3.0) & (d_red > 6.0)
+    )
+    v_des = jnp.where(creep, jnp.maximum(v_des, 1.2), v_des)
+
+    # ---- throttle / brake -------------------------------------------------
+    throttle = jnp.clip(0.9 * (v_des - ego.speed), 0.0, 0.85)
+    brake = (ego.speed > v_des + 0.7) | ((v_des < 0.2) & (ego.speed > 0.05))
+    brake = brake | (gap < 2.5)
+    throttle = jnp.where(brake, 0.0, throttle)
     return jnp.stack([steer, throttle, brake.astype(jnp.float32)])

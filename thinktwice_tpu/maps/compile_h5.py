@@ -360,10 +360,12 @@ def compile_town(
     tl_nslots = np.full((n_tl,), 2, np.int32)
 
     # --- spawn points along lanes -----------------------------------------
-    sp = []
+    sp, sp_wp = [], []
     for i in range(0, len(lane_pts), 10):
         sp.append((lane_pts[i, 0], lane_pts[i, 1], lane_yaw[i]))
+        sp_wp.append(i)
     spawn = np.asarray(sp, np.float32).reshape(-1, 3)
+    spawn_wp = np.asarray(sp_wp, np.int32)
 
     def j(a):
         return jnp.asarray(a)
@@ -399,4 +401,5 @@ def compile_town(
         ),
         spawn=j(pad_rows(spawn, max_spawn)),
         spawn_valid=j(pad_rows(np.ones(len(spawn), bool), max_spawn).astype(bool)),
+        spawn_wp=j(pad_rows(spawn_wp, max_spawn).astype(np.int32)),
     )

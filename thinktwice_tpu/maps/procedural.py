@@ -220,7 +220,7 @@ def make_grid_town(
     n_stop = len(stop_pos)
 
     # --- spawn points: lane waypoints far from intersections --------------
-    sp = []
+    sp, sp_wp = [], []
     for i in range(0, n_lane, 8):
         p = lane_pts[i]
         near_junction = any(
@@ -228,7 +228,9 @@ def make_grid_town(
         )
         if not near_junction:
             sp.append((p[0], p[1], lane_yaw[i]))
+            sp_wp.append(i)
     spawn = np.asarray(sp, np.float32).reshape(-1, 3)
+    spawn_wp = np.asarray(sp_wp, np.int32)
 
     def j(a):
         return jnp.asarray(a)
@@ -257,6 +259,7 @@ def make_grid_town(
         stop_valid=j(pad_rows(np.ones(n_stop, bool), max_stops).astype(bool)),
         spawn=j(pad_rows(spawn, max_spawn)),
         spawn_valid=j(pad_rows(np.ones(n_spawn, bool), max_spawn).astype(bool)),
+        spawn_wp=j(pad_rows(spawn_wp, max_spawn).astype(np.int32)),
         road_segs=j(pad_rows(road_segs, max_road_segs)),
         road_seg_valid=j(pad_rows(np.ones(len(road_segs), bool), max_road_segs).astype(bool)),
         lane_segs=j(pad_rows(lane_segs, max_lane_segs)),

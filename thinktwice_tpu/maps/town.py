@@ -69,6 +69,9 @@ class TownMap:
     # --- spawn points (x, y, yaw) for traffic ---
     spawn: jax.Array           # (SP, 3)
     spawn_valid: jax.Array     # (SP,) bool
+    spawn_wp: jax.Array        # (SP,) i32 lane waypoint index at each spawn —
+                               # lets step_world recycle a deadlocked NPC onto
+                               # a spawn without an O(V x L) nearest-lane scan
 
     def world_to_pixel(self, xy):
         """(..., 2) world meters -> (..., 2) float pixel coords (px, py)."""

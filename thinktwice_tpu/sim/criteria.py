@@ -81,7 +81,14 @@ def update_criteria(
     hit_static = jnp.any(_sample_raster(town.sidewalk, town, corners) > 0)
 
     overlapping = jnp.stack([hit_veh, hit_wlk, hit_static])
-    new_event = overlapping & ~crit.collision_latch           # rising edge
+    rising = overlapping & ~crit.collision_latch              # rising edge
+    # refractory: CollisionTest dedups repeated hits on the same object
+    # (atomic_criteria.py registered_collisions + distance gate). A curb graze
+    # toggling contact every few ticks is one infraction episode, not dozens.
+    new_event = rising & (crit.collision_cd <= 0.0)
+    new_cd = jnp.where(
+        new_event, 4.0, jnp.maximum(crit.collision_cd - sim.dt, 0.0)
+    )
     ev_veh, ev_wlk, ev_static = new_event[0], new_event[1], new_event[2]
 
     # ---- red light: crossed a red stop line this step ---------------------
@@ -161,6 +168,7 @@ def update_criteria(
         n_red_light=crit.n_red_light + ev_red.astype(jnp.int32),
         n_stop_sign=crit.n_stop_sign + ev_stop.astype(jnp.int32),
         collision_latch=overlapping,
+        collision_cd=new_cd,
         tl_latch=new_tl_latch,
         stop_in_zone=new_in_zone,
         stop_has_stopped=new_has_stopped,

@@ -90,6 +90,7 @@ def reset_world(
         extent=jnp.tile(jnp.asarray(VEHICLE_EXTENT)[None], (V, 1)),
         wp_idx=nearest_lane_idx(town, chosen[:, :2]),
         active=active,
+        stop_s=jnp.zeros((V,)),
     )
 
     walkers = WalkerState(

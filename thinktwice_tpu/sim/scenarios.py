@@ -262,6 +262,7 @@ def step_scenarios(
         extent=new_extent,
         wp_idx=traffic.wp_idx,
         active=(traffic.active | v_act_any) & ~v_deact_any,
+        stop_s=jnp.where(v_act_any, 0.0, traffic.stop_s),
     )
     # while running, the scenario vehicle holds its heading/speed (the step
     # function routes `scripted_mask` vehicles past the traffic policy)

@@ -37,6 +37,10 @@ class TrafficState:
     extent: jax.Array       # (V, 2)
     wp_idx: jax.Array       # (V,) i32 current target index into town.lane_pts
     active: jax.Array       # (V,) bool
+    stop_s: jax.Array       # (V,) f32 continuous seconds stationary; feeds the
+                            # recycle rule (step_world) that stands in for
+                            # CARLA TrafficManager's ability to keep global
+                            # flow (deadlocked NPCs respawn on a far lane)
 
 
 @jax.tree_util.register_dataclass
@@ -67,6 +71,12 @@ class CriteriaState:
     # latches to avoid double counting a single physical event
     collision_latch: jax.Array       # (3,) bool — [vehicle, walker, static], true
                                      # while ego still overlapping that category
+    collision_cd: jax.Array          # (3,) f32 per-category refractory seconds —
+                                     # CollisionTest dedups repeated hits on the
+                                     # same object (atomic_criteria.py:
+                                     # registered_collisions + distance gate);
+                                     # a curb graze toggling the latch every few
+                                     # ticks must not score dozens of events
     tl_latch: jax.Array              # (NL,) bool — light already scored this approach
     stop_in_zone: jax.Array          # (NS,) bool
     stop_has_stopped: jax.Array      # (NS,) bool
@@ -171,6 +181,7 @@ def zero_criteria(cfg: Config, n_lights: int | None = None, n_stops: int | None 
         n_red_light=z32,
         n_stop_sign=z32,
         collision_latch=jnp.zeros((3,), bool),
+        collision_cd=jnp.zeros((3,), jnp.float32),
         tl_latch=jnp.zeros((n_lights or cfg.sim.max_lights,), bool),
         stop_in_zone=jnp.zeros((n_stops or cfg.sim.max_stop_signs,), bool),
         stop_has_stopped=jnp.zeros((n_stops or cfg.sim.max_stop_signs,), bool),

@@ -63,7 +63,7 @@ def step_world(
     replaces the reference's per-route process teardown.
     """
     sim = cfg.sim
-    rng, rng_scen = jax.random.split(state.rng)
+    rng, rng_scen, rng_recycle = jax.random.split(state.rng, 3)
 
     t = state.time_s
     tl_states = traffic_light_states(town, t)
@@ -156,6 +156,40 @@ def step_world(
     t_pos = jnp.where(hold[:, None], tr.pos, t_pos)
     t_yaw = jnp.where(teleport, town.lane_yaw[new_wp], t_yaw)
     t_speed = jnp.where(teleport | hold, 0.0, t_speed)
+
+    # --- deadlock recycle (TrafficManager global-flow stand-in) ------------
+    # An NPC stationary longer than any red phase is wedged (two crossing
+    # queues, or a queue whose head collided); CARLA's TM never leaves cars
+    # like that forever. Respawn it on a random spawn point that is clear of
+    # the ego and other vehicles. Scenario-controlled actors are exempt:
+    # their stop is the scenario.
+    V = tr.pos.shape[0]
+    running = scen.state == 1
+    prot = jnp.any(
+        running[:, None] & (jax.nn.one_hot(scen.actor_idx, V) > 0.5), axis=0
+    )
+    prot = prot | jnp.any(
+        (running & (scen.kind == 7))[:, None]
+        & (jax.nn.one_hot(scen.param[:, 3].astype(jnp.int32), V) > 0.5),
+        axis=0,
+    ) | scripted_mask
+    stationary = tr.active & (t_speed < 0.3) & ~prot
+    stop_s = jnp.where(stationary, tr.stop_s + sim.dt, 0.0)
+    SP = town.spawn.shape[0]
+    cand = jax.random.randint(rng_recycle, (V,), 0, SP)
+    cand_pos = town.spawn[cand, :2]
+    ok_valid = town.spawn_valid[cand]
+    ok_ego = jnp.linalg.norm(cand_pos - state.ego.pos[None], axis=-1) > 30.0
+    d_cv = jnp.linalg.norm(cand_pos[:, None] - t_pos[None, :], axis=-1)
+    not_self2 = ~jnp.eye(V, dtype=bool)
+    ok_veh = jnp.all((d_cv > 10.0) | ~tr.active[None, :] | ~not_self2, axis=1)
+    recycle = (stop_s > sim.npc_recycle_s) & ok_valid & ok_ego & ok_veh
+    t_pos = jnp.where(recycle[:, None], cand_pos, t_pos)
+    t_yaw = jnp.where(recycle, town.spawn[cand, 2], t_yaw)
+    t_speed = jnp.where(recycle, 0.0, t_speed)
+    new_wp = jnp.where(recycle, town.spawn_wp[cand], new_wp)
+    stop_s = jnp.where(recycle, 0.0, stop_s)
+
     active_f = tr.active
     traffic = TrafficState(
         pos=jnp.where(active_f[:, None], t_pos, tr.pos),
@@ -164,6 +198,7 @@ def step_world(
         extent=tr.extent,
         wp_idx=jnp.where(active_f, new_wp, tr.wp_idx),
         active=tr.active,
+        stop_s=jnp.where(active_f, stop_s, tr.stop_s),
     )
 
     # --- walkers ------------------------------------------------------------

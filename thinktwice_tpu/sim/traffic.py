@@ -42,22 +42,36 @@ def _advance_wp(town: TownMap, wp_idx, pos):
     return jnp.where(reached, town.lane_next[wp_idx], wp_idx)
 
 
-def _front_gap(pos, yaw, speed, all_pos, all_ext, all_active, self_mask):
-    """Distance to the nearest actor inside a forward corridor.
+def _front_gap(pos, yaw, speed, all_pos, all_yaw, all_ext, all_active, self_mask):
+    """Distance to the nearest actor that actually obstructs the vehicle.
 
     pos/yaw/speed: (V, ...) of the deciding vehicles; all_*: (A, ...) of every
     collidable actor (traffic + ego + walkers). Returns (V,) gap in meters
     (large when free).
+
+    Two relevance bands, both heading-aware:
+    - a tight path band (lateral < 1.7 m + actor half-width): anything
+      physically in my lane — crossing traffic, walkers, a head-on car;
+    - a wider same-direction band (lateral < 2.2 m + half-width, heading
+      within 60°): the leader I am following through a curve.
+    Oncoming traffic in the adjacent lane (lateral ~3 m, heading ~180°) falls
+    in neither band. Round-1 used one 3.3 m isotropic band, so every two-way
+    street made opposing NPCs brake for each other — the whole fleet froze
+    within two minutes (town-wide gridlock, 90/120 stopped), which is what
+    blocked every Town05 Long route.
     """
     fwd = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)], axis=-1)          # (V, 2)
     right = jnp.stack([-jnp.sin(yaw), jnp.cos(yaw)], axis=-1)
     rel = all_pos[None, :, :] - pos[:, None, :]                      # (V, A, 2)
     along = jnp.einsum("vac,vc->va", rel, fwd)
     lateral = jnp.abs(jnp.einsum("vac,vc->va", rel, right))
+    same_dir = jnp.abs(wrap_angle(all_yaw[None, :] - yaw[:, None])) < jnp.pi / 3
+    in_path = lateral < 1.7 + all_ext[None, :, 1]
+    in_lane = same_dir & (lateral < 2.2 + all_ext[None, :, 1])
     in_corridor = (
         (along > 0.1)
         & (along < 40.0)
-        & (lateral < 2.2 + all_ext[None, :, 1])
+        & (in_path | in_lane)
         & all_active[None, :]
         & ~self_mask
     )
@@ -116,6 +130,7 @@ def traffic_policy(
 
     # --- longitudinal: IDM-lite over pooled actors ---
     all_pos = jnp.concatenate([veh_pos, ego_pos[None], wlk_pos], axis=0)
+    all_yaw = jnp.concatenate([veh_yaw, ego_yaw[None], jnp.zeros(wlk_pos.shape[0])], axis=0)
     all_ext = jnp.concatenate([veh_ext, ego_ext[None], wlk_ext], axis=0)
     all_active = jnp.concatenate(
         [veh_active, jnp.ones((1,), bool), wlk_active], axis=0
@@ -125,7 +140,7 @@ def traffic_policy(
         jax.lax.broadcasted_iota(jnp.int32, (V, A), 1)
         == jax.lax.broadcasted_iota(jnp.int32, (V, A), 0)
     )
-    gap = _front_gap(veh_pos, veh_yaw, veh_speed, all_pos, all_ext, all_active, self_mask)
+    gap = _front_gap(veh_pos, veh_yaw, veh_speed, all_pos, all_yaw, all_ext, all_active, self_mask)
 
     d_red = _red_light_dist(town, tl_states, veh_pos, veh_yaw)
     gap = jnp.minimum(gap, jnp.where(d_red < cfg.tl_stop_distance, d_red - 2.0, 1e4))
