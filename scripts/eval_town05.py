@@ -68,25 +68,21 @@ def main():
 
     specs = parse_routes_file(ROUTES)[: args.routes]
     planner = raster_planner(H5)
-    polylines = [s.dense(spacing=2.0, planner=planner) for s in specs]
     # widen the lane network with the training-route bank so the 120
     # background vehicles distribute across the whole town's roads (the
     # reference spawns them on all CARLA lanes) instead of stacking onto the
     # ego's own corridor and deadlocking it
     import glob as _glob
 
+    from thinktwice_tpu.maps.cache import town05_cached
+
     bank_glob = ("/root/reference/leaderboard/data/"
                  "routes_for_open_loop_training/routes_town05_0*.xml")
-    extra = []
-    for f in sorted(_glob.glob(bank_glob))[:4]:
-        extra.extend(parse_routes_file(f))
-    extra_polys = [s.dense(spacing=2.0, planner=planner) for s in extra[:200]]
-    print(f"compiling Town05 from {len(polylines)} eval + "
-          f"{len(extra_polys)} bank polylines...")
-    town = compile_town(H5, polylines + extra_polys, max_lane_pts=32768,
-                        max_road_segs=4096, max_lane_segs=4096)
+    bank_files = sorted(_glob.glob(bank_glob))[:4]
+    town = town05_cached(H5, [ROUTES] + bank_files, max_lane_pts=32768,
+                         max_road_segs=4096, max_lane_segs=4096)
     n_tl = int(np.asarray(town.tl_valid).sum())
-    print(f"town compiled: {n_tl} traffic lights")
+    print(f"town ready: {n_tl} traffic lights")
 
     cfg = Config(
         sim=SimConfig(

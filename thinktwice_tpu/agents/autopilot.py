@@ -101,6 +101,14 @@ def autopilot_control(cfg: Config, town: TownMap, state: WorldState):
         jnp.minimum(v_curve, v_gap), jnp.minimum(v_red, v_sign)
     )
 
+    # ---- motion-forecast hazard (crossing traffic / walkers) --------------
+    # the corridor gap only sees actors already in the lane band; a vehicle
+    # crossing the junction enters it too late to brake for. Reuse the
+    # expert's ego+actor forecast rule (roach_ap_agent hazard forecast).
+    from thinktwice_tpu.agents.expert import hazard_brake
+
+    v_des = jnp.where(hazard_brake(cfg, state), 0.0, v_des)
+
     # ---- anti-deadlock creep ---------------------------------------------
     # blocked a long time, nothing physically within 3 m, no red line closer
     # than 6 m: creep forward (the world's recycle rule will clear whatever

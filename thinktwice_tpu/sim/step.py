@@ -120,6 +120,7 @@ def step_world(
         state.ego.pos,
         state.ego.yaw,
         state.ego.extent,
+        state.ego.speed,
         walkers.pos,
         walkers.extent,
         walkers.active,
@@ -173,8 +174,15 @@ def step_world(
         & (jax.nn.one_hot(scen.param[:, 3].astype(jnp.int32), V) > 0.5),
         axis=0,
     ) | scripted_mask
-    stationary = tr.active & (t_speed < 0.3) & ~prot
-    stop_s = jnp.where(stationary, tr.stop_s + sim.dt, 0.0)
+    # decaying timer, not a hard reset: a wedged queue that inches forward a
+    # few cm every few seconds must still recycle, while genuinely flowing
+    # traffic (red phase then green) clears its timer within seconds
+    stationary = tr.active & (t_speed < 0.5) & ~prot
+    stop_s = jnp.where(
+        stationary,
+        tr.stop_s + sim.dt,
+        jnp.maximum(tr.stop_s - 5.0 * sim.dt, 0.0),
+    )
     SP = town.spawn.shape[0]
     cand = jax.random.randint(rng_recycle, (V,), 0, SP)
     cand_pos = town.spawn[cand, :2]

@@ -79,6 +79,42 @@ def _front_gap(pos, yaw, speed, all_pos, all_yaw, all_ext, all_active, self_mask
     return jnp.min(gap, axis=-1)
 
 
+def _cross_conflict_yield(pos, yaw, speed, all_pos, all_yaw, all_speed,
+                          all_active, self_mask, priority_over_me):
+    """Junction arbitration: True for vehicles that must yield.
+
+    CARLA's TrafficManager negotiates crossing priority inside junctions; the
+    lane soup has no junction boxes, so arbitrate by forecast: extrapolate
+    every actor along its heading at its current speed; if my forecast comes
+    within a safety disc of a higher-priority actor's forecast ahead of me,
+    I stop. Priority is strict (ego always wins; between NPCs the lower slot
+    index wins) so yield cycles — the deadlock mode of symmetric rules —
+    cannot form.
+    """
+    ts = jnp.asarray([0.6, 1.2, 1.8, 2.4])
+    my_fwd = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)], axis=-1)        # (V, 2)
+    my_v = my_fwd * jnp.maximum(speed, 1.5)[:, None]                 # probe even from stop
+    my_t = pos[:, None, :] + ts[None, :, None] * my_v[:, None, :]    # (V, T, 2)
+    o_fwd = jnp.stack([jnp.cos(all_yaw), jnp.sin(all_yaw)], axis=-1)
+    o_v = o_fwd * all_speed[:, None]
+    o_t = all_pos[:, None, :] + ts[None, :, None] * o_v[:, None, :]  # (A, T, 2)
+    d = jnp.linalg.norm(my_t[:, None, :, :] - o_t[None, :, :, :], axis=-1)  # (V, A, T)
+    # conflict must be ahead-ish of me (not someone crossing behind)
+    rel_now = all_pos[None, :, :] - pos[:, None, :]
+    ahead = jnp.einsum("vac,vc->va", rel_now, my_fwd) > -2.0
+    moving = all_speed > 0.5       # a stopped actor is a gap problem, not a
+                                   # crossing one (gap logic handles it)
+    conflict = (
+        jnp.any(d < 3.0, axis=-1)
+        & ahead
+        & moving[None, :]
+        & all_active[None, :]
+        & ~self_mask
+        & priority_over_me
+    )
+    return jnp.any(conflict, axis=-1)
+
+
 def _red_light_dist(town: TownMap, tl_states, pos, yaw):
     """Distance to the nearest red/yellow stop point that this vehicle is
     approaching (same heading ±45°, ahead, within tl_stop_distance)."""
@@ -114,6 +150,7 @@ def traffic_policy(
     ego_pos,
     ego_yaw,
     ego_ext,
+    ego_speed,
     wlk_pos,
     wlk_ext,
     wlk_active,
@@ -144,6 +181,20 @@ def traffic_policy(
 
     d_red = _red_light_dist(town, tl_states, veh_pos, veh_yaw)
     gap = jnp.minimum(gap, jnp.where(d_red < cfg.tl_stop_distance, d_red - 2.0, 1e4))
+
+    # --- junction crossing arbitration ------------------------------------
+    # priority: ego (slot V in the pooled arrays) > lower NPC slot index
+    all_speed = jnp.concatenate(
+        [veh_speed, ego_speed[None], jnp.zeros(wlk_pos.shape[0])], axis=0
+    )
+    my_idx = jax.lax.broadcasted_iota(jnp.int32, (V, A), 0)
+    ot_idx = jax.lax.broadcasted_iota(jnp.int32, (V, A), 1)
+    priority = (ot_idx == V) | (ot_idx < my_idx)   # ego slot, or lower slot
+    must_yield = _cross_conflict_yield(
+        veh_pos, veh_yaw, veh_speed, all_pos, all_yaw, all_speed,
+        all_active, self_mask, priority,
+    )
+    gap = jnp.where(must_yield, jnp.minimum(gap, 2.5), gap)
 
     # per-vehicle cruise diversity ≈ TrafficManager's per-vehicle speed
     # percentage differences (behavior profiles): deterministic golden-ratio

@@ -1,0 +1,238 @@
+"""Behavior-cloning pretrainer for the Roach expert policy.
+
+The reference's expert is a PPO policy trained against a CARLA fleet
+(roach/models/ppo.py; the repo only ships the checkpoint). Round-1/2 PPO from
+scratch learned lane-keeping but not reliable junction turns on Town05 Long
+(DS 1.8: wrong turns compound over 1-2 km routes). This module bootstraps the
+same policy network from the privileged rule-based autopilot
+(agents/autopilot.py), which reads the route directly and turns correctly —
+the classic BC-warm-start-then-RL-polish recipe.
+
+Everything is one jit program per iteration, same shape as train/ppo.py:
+- rollout: W vmapped worlds driven by the autopilot with exploration steer
+  noise (DAgger-lite: the noise pushes the ego off-center so the dataset
+  contains corrective actions), recording (birdview u8, state_vec, action)
+  at the expert's 10 Hz cadence;
+- update: Beta negative-log-likelihood on the recorded actions (with label
+  jitter so the Beta concentration stays finite) + discounted-return value
+  regression so the PPO fine-tune starts from a sane critic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from thinktwice_tpu.agents.autopilot import autopilot_control
+from thinktwice_tpu.agents.expert import state_vector
+from thinktwice_tpu.agents.roach import RoachPolicy, beta_log_prob
+from thinktwice_tpu.config import Config
+from thinktwice_tpu.maps.town import TownMap
+from thinktwice_tpu.sensors.birdview import birdview_from_state
+from thinktwice_tpu.sim.reset import reset_world
+from thinktwice_tpu.sim.step import step_world
+from thinktwice_tpu.train.ppo import compute_reward, hazard_desired_speed
+
+GAMMA = 0.99
+ACTION_JITTER = 0.03     # label smoothing on [-1,1] actions
+CONC_PENALTY = 1e-4      # keeps alpha+beta from running away on clean labels
+VALUE_COEF = 0.25
+
+
+def control_to_acc(control):
+    """(steer, throttle, brake) -> (acc, steer) in [-1, 1] — inverse of
+    roach.acc_to_control (rl_birdview_wrapper acc_as_action)."""
+    steer = control[..., 0]
+    acc = control[..., 1] - control[..., 2]
+    return jnp.stack([acc, steer], axis=-1)
+
+
+@dataclasses.dataclass
+class BCConfig:
+    n_envs: int = 24
+    n_steps: int = 256          # sim ticks per rollout (record every 2nd)
+    steer_noise: float = 0.08   # exploration noise on the applied steering
+    minibatch: int = 256
+    n_epochs: int = 2
+    lr: float = 3e-4
+    n_vehicles: int = 24
+    seed: int = 0
+
+
+def make_bc(cfg: Config, bcfg: BCConfig, town: TownMap, routes):
+    """routes: (NR, R, 3) dense route bank. Returns (init_fn, iterate_fn)."""
+    policy = RoachPolicy(
+        features_dim=cfg.roach.features_dim,
+        states_neurons=cfg.roach.states_neurons,
+        policy_head_arch=cfg.roach.policy_head,
+        value_head_arch=cfg.roach.value_head,
+        action_dim=cfg.roach.action_dim,
+    )
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(bcfg.lr))
+    W = bcfg.n_envs
+    NR = routes.shape[0]
+
+    def reset_env(i, rng):
+        rk, rr = jax.random.split(rng)
+        idx = jax.random.randint(jax.random.fold_in(rk, i), (), 0, NR)
+        return reset_world(cfg, town, routes[idx], rr,
+                           n_vehicles=bcfg.n_vehicles)
+
+    def maybe_reset(state, done, rng, env_idx):
+        fresh = reset_env(env_idx, rng)
+        return jax.tree.map(
+            lambda f, s: jnp.where(
+                done if f.ndim == 0 else jnp.reshape(done, (1,) * f.ndim), f, s
+            ),
+            fresh, state,
+        )
+
+    def init_fn(rng):
+        rp, re = jax.random.split(rng)
+        params = policy.init(
+            rp,
+            jnp.zeros((1, cfg.birdview.n_channels, 192, 192)),
+            jnp.zeros((1, cfg.roach.state_dim)),
+        )
+        env_states = jax.vmap(reset_env)(
+            jnp.arange(W), jax.random.split(re, W)
+        )
+        return params, tx.init(params), env_states
+
+    @jax.jit
+    def rollout_fn(env_states, rng):
+        """Drive the autopilot teacher; record frames on the 10 Hz cadence."""
+
+        def step(carry, k):
+            states, rng = carry
+            rng, rn, rr = jax.random.split(rng, 3)
+            ctrl = jax.vmap(lambda s: autopilot_control(cfg, town, s))(states)
+            # exploration noise on the applied steering only — the RECORDED
+            # label stays the teacher's clean action (DAgger-style: noisy
+            # execution, expert labels)
+            noise = bcfg.steer_noise * jax.random.normal(rn, (W,))
+            ctrl_exec = ctrl.at[:, 0].add(noise)
+            record = (k % 2) == 0
+            bv = jax.vmap(lambda s: birdview_from_state(cfg.birdview, town, s))(
+                states
+            )
+            sv = jax.vmap(state_vector)(states)
+            new_states, events = jax.vmap(
+                lambda s, c: step_world(cfg, town, s, c)
+            )(states, ctrl_exec)
+            desired = jax.vmap(lambda s: hazard_desired_speed(cfg, town, s))(
+                states
+            )
+            rew, _ = jax.vmap(compute_reward)(states, new_states, events, desired)
+            done = new_states.criteria.done
+            new_states = jax.vmap(maybe_reset)(
+                new_states, done, jax.random.split(rr, W), jnp.arange(W)
+            )
+            frame = {
+                "bv_u8": (bv * 255.0).astype(jnp.uint8),
+                "sv": sv,
+                "action": control_to_acc(ctrl),
+                "reward": rew,
+                "done": done,
+                "record": jnp.full((W,), record),
+            }
+            return (new_states, rng), frame
+
+        (env_states, _), traj = jax.lax.scan(
+            step, (env_states, rng), jnp.arange(bcfg.n_steps)
+        )
+        return env_states, traj
+
+    def discounted_returns(traj):
+        def back(carry, t):
+            ret = t["reward"] + GAMMA * carry * (1.0 - t["done"].astype(jnp.float32))
+            return ret, ret
+
+        _, rets = jax.lax.scan(
+            back, jnp.zeros(traj["reward"].shape[1]), traj, reverse=True
+        )
+        return rets
+
+    def loss_fn(params, batch, rng):
+        bv = batch["bv_u8"].astype(jnp.float32) / 255.0
+        out = policy.apply(params, bv, batch["sv"])
+        jit_a = jnp.clip(
+            batch["action"]
+            + ACTION_JITTER * jax.random.normal(rng, batch["action"].shape),
+            -0.999, 0.999,
+        )
+        nll = -beta_log_prob(jit_a, out["alpha"], out["beta"])
+        v_err = (out["value"][:, 0] - batch["ret"]) ** 2
+        conc = jnp.mean(out["alpha"] + out["beta"])
+        w = batch["w"]
+        loss = (
+            jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+            + VALUE_COEF * jnp.sum(v_err * w) / jnp.maximum(jnp.sum(w), 1.0)
+            + CONC_PENALTY * conc
+        )
+        # action-error diagnostic: Beta mode vs label
+        from thinktwice_tpu.agents.roach import beta_mode
+
+        mode = beta_mode(out["alpha"], out["beta"])
+        mae = jnp.sum(
+            jnp.abs(mode - batch["action"]) * w[:, None]
+        ) / jnp.maximum(jnp.sum(w) * 2, 1.0)
+        return loss, {"bc_nll": jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0),
+                      "v_mse": jnp.sum(v_err * w) / jnp.maximum(jnp.sum(w), 1.0),
+                      "conc": conc, "action_mae": mae}
+
+    @jax.jit
+    def update_fn(params, opt_state, flat, rng):
+        n = flat["action"].shape[0]
+        nmb = max(n // bcfg.minibatch, 1)
+
+        def epoch(carry, erng):
+            params, opt_state = carry
+            e1, e2 = jax.random.split(erng)
+            perm = jax.random.permutation(e1, n)
+
+            def mb(carry, i):
+                params, opt_state = carry
+                idx = jax.lax.dynamic_slice_in_dim(
+                    perm, i * bcfg.minibatch, bcfg.minibatch
+                )
+                batch = jax.tree.map(lambda x: x[idx], flat)
+                (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, batch, jax.random.fold_in(e2, i)
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), aux
+
+            (params, opt_state), auxs = jax.lax.scan(
+                mb, (params, opt_state), jnp.arange(nmb)
+            )
+            return (params, opt_state), auxs
+
+        (params, opt_state), auxs = jax.lax.scan(
+            epoch, (params, opt_state), jax.random.split(rng, bcfg.n_epochs)
+        )
+        return params, opt_state, jax.tree.map(lambda x: x[-1, -1], auxs)
+
+    def iterate_fn(params, opt_state, env_states, rng):
+        r1, r2 = jax.random.split(rng)
+        env_states, traj = rollout_fn(env_states, r1)
+        rets = jax.jit(discounted_returns)(traj)
+        flat = {
+            "bv_u8": traj["bv_u8"].reshape(-1, *traj["bv_u8"].shape[2:]),
+            "sv": traj["sv"].reshape(-1, traj["sv"].shape[-1]),
+            "action": traj["action"].reshape(-1, 2),
+            "ret": rets.reshape(-1),
+            "w": traj["record"].reshape(-1).astype(jnp.float32),
+        }
+        params, opt_state, metrics = update_fn(params, opt_state, flat, r2)
+        metrics = dict(metrics)
+        metrics["mean_reward"] = traj["reward"].mean()
+        metrics["mean_speed"] = traj["sv"][..., 4].mean()
+        metrics["dones"] = traj["done"].sum()
+        return params, opt_state, env_states, metrics
+
+    return init_fn, iterate_fn
