@@ -58,17 +58,18 @@ def town05_world(cfg):
 
     specs = parse_routes_file(ROUTES_XML)
     planner = raster_planner(H5)
-    routes, polys = [], []
+    routes = []
     for s in specs:
         raw = s.dense(spacing=1.0, planner=planner)
         length = float(np.linalg.norm(np.diff(raw[:, :2], axis=0), axis=1).sum())
         if length < 100.0 or length > MAX_ROUTE_LEN - 10:
             continue
         routes.append(s.dense(spacing=1.0, max_len=MAX_ROUTE_LEN, planner=planner))
-        polys.append(raw)
         if len(routes) >= N_WORLDS:
             break
-    town = compile_town(H5, polys)
+    from thinktwice_tpu.maps.cache import town05_cached
+
+    town = town05_cached(H5, [ROUTES_XML])
     scens = []
     for r in routes:
         n = len(r)

@@ -40,8 +40,8 @@ BANK = sorted(__import__("glob").glob(
 
 def get_town():
     return town05_cached(
-        H5, [ROUTES] + BANK, max_lane_pts=32768, max_road_segs=4096,
-        max_lane_segs=4096)
+        H5, [ROUTES] + BANK, max_lane_pts=49152, max_road_segs=8192,
+        max_lane_segs=8192)
 
 
 def main():

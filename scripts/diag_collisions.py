@@ -76,7 +76,7 @@ def main():
     print(f"{len(hits)} ego-vehicle collisions, "
           f"final comp={float(tel['comp'][-1]):.2f}")
     for t in hits:
-        r = tel["rel"][:, t] if tel["rel"].ndim == 2 else tel["rel"][t]
+        r = tel["rel"][t]
         print(f"t={t*0.05:6.1f}s comp={tel['comp'][t]:.2f} "
               f"v_ego={tel['ego_speed'][t]:4.1f} v_oth={tel['other_speed'][t]:4.1f} "
               f"oth_stop_s={tel['other_stop_s'][t]:5.1f} "

@@ -75,8 +75,8 @@ def main():
     args = ap.parse_args()
 
     planner = raster_planner(H5)
-    town = town05_cached(H5, [ROUTES] + BANK, max_lane_pts=32768,
-                         max_road_segs=4096, max_lane_segs=4096)
+    town = town05_cached(H5, [ROUTES] + BANK, max_lane_pts=49152,
+                         max_road_segs=8192, max_lane_segs=8192)
     bank = load_routes(planner)
     print(f"route bank: {len(bank)} routes; "
           f"{int(np.asarray(town.tl_valid).sum())} lights", flush=True)

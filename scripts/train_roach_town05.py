@@ -78,8 +78,8 @@ def main():
 
     bank, polys = load_route_bank()
     print(f"route bank: {len(bank)} routes")
-    town = compile_town(H5, polys, max_lane_pts=32768, max_road_segs=4096,
-                        max_lane_segs=4096)
+    town = compile_town(H5, polys, max_lane_pts=49152, max_road_segs=8192,
+                        max_lane_segs=8192)
     n_tl = int(np.asarray(town.tl_valid).sum())
     print(f"Town05 compiled: {n_tl} traffic lights")
 

@@ -85,8 +85,8 @@ def main():
     n_val = 8
     train_routes = jnp.asarray(bank[n_val:], jnp.float32)
     val_routes = jnp.asarray(bank[:n_val], jnp.float32)
-    town = compile_town(H5, polys, max_lane_pts=32768, max_road_segs=4096,
-                        max_lane_segs=4096)
+    town = compile_town(H5, polys, max_lane_pts=49152, max_road_segs=8192,
+                        max_lane_segs=8192)
     print(f"routes: {len(bank) - n_val} train / {n_val} val")
 
     cfg = Config(

@@ -77,8 +77,9 @@ def autopilot_control(cfg: Config, town: TownMap, state: WorldState):
         ego.pos[None], ego.yaw[None], ego.speed[None],
         all_pos, all_yaw, all_ext, all_act,
         jnp.zeros((1, all_pos.shape[0]), bool),
+        self_ext_x=ego.extent[0][None],
     )[0]
-    v_gap = jnp.clip((gap - 4.0) / 1.2, 0.0, CRUISE)
+    v_gap = jnp.clip((gap - 2.5) / 1.2, 0.0, CRUISE)
 
     # ---- red lights -------------------------------------------------------
     tl_states = traffic_light_states(town, state.time_s)

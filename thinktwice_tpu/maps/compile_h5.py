@@ -234,26 +234,72 @@ def compile_town(
         sidewalk = sidewalk[::ds, ::ds]
 
     # --- lane network from route polylines --------------------------------
+    # Routes share roads ~10x over, so naive per-route chains blow any point
+    # budget AND put several overlapping spawn/queue chains on one physical
+    # lane (NPCs from different chains spawned inside each other). Dedup as
+    # the chains are built: a new point within merge_m of an already-kept
+    # point with a compatible heading reuses that point; its predecessor's
+    # successor pointer then reroutes onto the kept chain.
+    merge_m, merge_yaw = 1.5, np.deg2rad(25.0)
+    cell = 4.0
+    grid: dict[tuple[int, int], list[int]] = {}
     lane_pts, lane_yaw, lane_next = [], [], []
-    road_segs, lane_segs = [], []
+
+    def _find_kept(p, yw):
+        gc = (int(p[0] // cell), int(p[1] // cell))
+        for dgr in (-1, 0, 1):
+            for dgc in (-1, 0, 1):
+                for k in grid.get((gc[0] + dgr, gc[1] + dgc), ()):
+                    if (abs(lane_pts[k][0] - p[0]) < merge_m
+                            and abs(lane_pts[k][1] - p[1]) < merge_m):
+                        dy = abs(np.arctan2(np.sin(lane_yaw[k] - yw),
+                                            np.cos(lane_yaw[k] - yw)))
+                        if dy < merge_yaw:
+                            return k
+        return -1
+
+    capacity_hit = False
     for poly in route_polylines:
         dense = densify_polyline(np.asarray(poly)[:, :2], spacing=2.0)
-        start = len(lane_pts)
-        if start + len(dense) > max_lane_pts:
-            # keep whole route chains only: a chain cut mid-route would
-            # leave lane_next successors dangling into the padding (NPCs
-            # steering at the world origin / build_graph IndexError)
+        idxs = []
+        for k in range(len(dense)):
+            d = dense[min(k + 1, len(dense) - 1)] - dense[max(k - 1, 0)]
+            yw = np.arctan2(d[1], d[0])
+            j_ = _find_kept(dense[k], yw)
+            if j_ < 0:
+                if len(lane_pts) >= max_lane_pts:
+                    capacity_hit = True
+                    break
+                j_ = len(lane_pts)
+                lane_pts.append(dense[k])
+                lane_yaw.append(yw)
+                lane_next.append(j_)  # provisional self-link
+                grid.setdefault(
+                    (int(dense[k][0] // cell), int(dense[k][1] // cell)), []
+                ).append(j_)
+            idxs.append(j_)
+        # wire successors along this route (only overwrite provisional
+        # self-links so the FIRST route through a road owns the chain)
+        for a, b in zip(idxs[:-1], idxs[1:]):
+            if lane_next[a] == a and b != a:
+                lane_next[a] = b
+        if idxs and lane_next[idxs[-1]] == idxs[-1]:
+            lane_next[idxs[-1]] = idxs[0]  # loop the route's tail
+        if capacity_hit:
             print(
                 f"WARNING compile_town: lane_pts capacity {max_lane_pts} "
                 f"reached — dropping remaining routes from the lane network"
             )
             break
-        for k in range(len(dense)):
-            d = dense[min(k + 1, len(dense) - 1)] - dense[max(k - 1, 0)]
-            lane_pts.append(dense[k])
-            lane_yaw.append(np.arctan2(d[1], d[0]))
-            lane_next.append(len(lane_pts))
-        lane_next[-1] = start  # loop each route
+
+    road_segs, lane_segs = [], []
+    for poly in route_polylines:
+        # thick road segments every ~10 m along the polyline
+        coarse = densify_polyline(np.asarray(poly)[:, :2], spacing=10.0)
+        for k in range(len(coarse) - 1):
+            a, b = coarse[k], coarse[k + 1]
+            road_segs.append((a[0], a[1], b[0], b[1], ROAD_HALF_W))
+            lane_segs.append((a[0], a[1], b[0], b[1], LANE_MARK_HALF_W, 1.0))
     for poly in route_polylines:
         # thick road segments every ~10 m along the polyline
         coarse = densify_polyline(np.asarray(poly)[:, :2], spacing=10.0)
@@ -359,10 +405,24 @@ def compile_town(
     )
     tl_nslots = np.full((n_tl,), 2, np.int32)
 
-    # --- spawn points along lanes -----------------------------------------
+    # --- spawn points along lanes (min 8 m apart so vehicles spawned on
+    # neighboring slots can never overlap) ---------------------------------
     sp, sp_wp = [], []
-    for i in range(0, len(lane_pts), 10):
-        sp.append((lane_pts[i, 0], lane_pts[i, 1], lane_yaw[i]))
+    sp_grid: dict[tuple[int, int], list[int]] = {}
+    for i in range(0, len(lane_pts), 5):
+        p = lane_pts[i]
+        gc = (int(p[0] // 8.0), int(p[1] // 8.0))
+        clash = False
+        for dgr in (-1, 0, 1):
+            for dgc in (-1, 0, 1):
+                for k in sp_grid.get((gc[0] + dgr, gc[1] + dgc), ()):
+                    if np.hypot(sp[k][0] - p[0], sp[k][1] - p[1]) < 8.0:
+                        clash = True
+                        break
+        if clash:
+            continue
+        sp_grid.setdefault(gc, []).append(len(sp))
+        sp.append((p[0], p[1], lane_yaw[i]))
         sp_wp.append(i)
     spawn = np.asarray(sp, np.float32).reshape(-1, 3)
     spawn_wp = np.asarray(sp_wp, np.int32)

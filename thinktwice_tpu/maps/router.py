@@ -150,15 +150,23 @@ class RasterPlanner:
         # (cell centers of 25%-road cells can themselves be off-road; the
         # final dense route snaps through this to land exactly on the road)
         self._road_fine = road > 0
-        _, self._snap_idx = ndimage.distance_transform_edt(
-            ~self._road_fine, return_indices=True
-        )
-        self._snap_idx = self._snap_idx.astype(np.int32)
         # fine edge clearance in meters (the coarse edge_m cannot resolve
         # below one 2 m cell, so sub-cell clearance thresholds need this)
         self._edge_fine_m = (
             ndimage.distance_transform_edt(self._road_fine) / self.ppm
         ).astype(np.float32)
+        # snap TARGETS need real clearance, not bare on-road membership: the
+        # nearest road pixel to an off-road point is the road/curb boundary
+        # pixel itself, and a route point there parks the 1.06 m-half-width
+        # ego on the sidewalk (measured: route-0 had stretches at 0.0 m from
+        # the sidewalk -> repeated layout collisions under perfect tracking)
+        clear = self._edge_fine_m >= 1.5
+        if not clear.any():
+            clear = self._road_fine
+        _, self._snap_idx = ndimage.distance_transform_edt(
+            ~clear, return_indices=True
+        )
+        self._snap_idx = self._snap_idx.astype(np.int32)
 
     # --- coordinate helpers ------------------------------------------------
     def _to_cell(self, xy) -> tuple[int, int]:
@@ -297,18 +305,19 @@ class RasterPlanner:
         from thinktwice_tpu.maps.town import densify_polyline, pad_rows
 
         dense = densify_polyline(poly, spacing=spacing).astype(np.float64)
-        # exact on-road snap at full raster resolution: off-road points move
-        # to the nearest road pixel (pushes in ~0.2-2 m, keeps the path shape)
+        # exact snap at full raster resolution: points off-road OR hugging the
+        # curb (< 1.15 m fine clearance) move to the nearest pixel with >= 1.5 m
+        # clearance (pushes in ~0.2-2 m, keeps the path shape)
         pix = (dense - self.offset[None]) * self.ppm
         r = np.clip(pix[:, 1].astype(int), 0, self._road_fine.shape[0] - 1)
         c = np.clip(pix[:, 0].astype(int), 0, self._road_fine.shape[1] - 1)
-        off_road = ~self._road_fine[r, c]
+        need_fix = ~self._road_fine[r, c] | (self._edge_fine_m[r, c] < 1.15)
         nr = self._snap_idx[0, r, c].astype(np.float64)
         nc = self._snap_idx[1, r, c].astype(np.float64)
         snapped = np.stack([nc, nr], axis=1) / self.ppm + self.offset[None]
-        dense = np.where(off_road[:, None], snapped, dense)
+        dense = np.where(need_fix[:, None], snapped, dense)
         # the snap leaves ~meter-scale kinks; relax them where the smoothed
-        # point stays on the road
+        # point keeps clearance
         for _ in range(2):
             sm = dense.copy()
             sm[2:-2] = (dense[:-4] + dense[1:-3] + dense[2:-2]
@@ -316,7 +325,7 @@ class RasterPlanner:
             pix = (sm - self.offset[None]) * self.ppm
             r = np.clip(pix[:, 1].astype(int), 0, self._road_fine.shape[0] - 1)
             c = np.clip(pix[:, 0].astype(int), 0, self._road_fine.shape[1] - 1)
-            ok = self._road_fine[r, c]
+            ok = self._road_fine[r, c] & (self._edge_fine_m[r, c] >= 1.0)
             dense = np.where(ok[:, None], sm, dense)
         # headings from ±2-point central differences: the snap bunches some
         # points, and single-step finite differences there are pure noise

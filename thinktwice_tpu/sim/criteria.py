@@ -76,9 +76,14 @@ def update_criteria(
     ) & wlk_active
     hit_veh = jnp.any(hit_veh_each)
     hit_wlk = jnp.any(hit_wlk_each)
-    # static layout collision: any ego corner over the curb/sidewalk raster
+    # static layout collision: any ego corner over the curb. The H5 rasters
+    # overlap at junction aprons/crosswalks (~1.2% of Town05's road pixels are
+    # also marked sidewalk), so the curb is sidewalk AND NOT road — bare
+    # sidewalk sampling false-fired on legitimate on-road driving there.
     corners = box_corners(ego_pos, ego_yaw, ego_ext)          # (4, 2)
-    hit_static = jnp.any(_sample_raster(town.sidewalk, town, corners) > 0)
+    on_sw = _sample_raster(town.sidewalk, town, corners) > 0
+    on_rd = _sample_raster(town.road, town, corners) > 0
+    hit_static = jnp.any(on_sw & ~on_rd)
 
     overlapping = jnp.stack([hit_veh, hit_wlk, hit_static])
     rising = overlapping & ~crit.collision_latch              # rising edge

@@ -42,7 +42,8 @@ def _advance_wp(town: TownMap, wp_idx, pos):
     return jnp.where(reached, town.lane_next[wp_idx], wp_idx)
 
 
-def _front_gap(pos, yaw, speed, all_pos, all_yaw, all_ext, all_active, self_mask):
+def _front_gap(pos, yaw, speed, all_pos, all_yaw, all_ext, all_active, self_mask,
+               self_ext_x=None):
     """Distance to the nearest actor that actually obstructs the vehicle.
 
     pos/yaw/speed: (V, ...) of the deciding vehicles; all_*: (A, ...) of every
@@ -65,8 +66,15 @@ def _front_gap(pos, yaw, speed, all_pos, all_yaw, all_ext, all_active, self_mask
     rel = all_pos[None, :, :] - pos[:, None, :]                      # (V, A, 2)
     along = jnp.einsum("vac,vc->va", rel, fwd)
     lateral = jnp.abs(jnp.einsum("vac,vc->va", rel, right))
-    same_dir = jnp.abs(wrap_angle(all_yaw[None, :] - yaw[:, None])) < jnp.pi / 3
-    in_path = lateral < 1.7 + all_ext[None, :, 1]
+    rel_hdg = wrap_angle(all_yaw[None, :] - yaw[:, None])
+    same_dir = jnp.abs(rel_hdg) < jnp.pi / 3
+    # a crossing actor presents its LENGTH to my path, not its width — use the
+    # projected half-extent so a diagonal box's corners still register
+    crossing = jnp.abs(jnp.sin(rel_hdg))
+    eff_w = (
+        all_ext[None, :, 1] * (1.0 - crossing) + all_ext[None, :, 0] * crossing
+    )
+    in_path = lateral < 1.7 + eff_w
     in_lane = same_dir & (lateral < 2.2 + all_ext[None, :, 1])
     in_corridor = (
         (along > 0.1)
@@ -75,12 +83,19 @@ def _front_gap(pos, yaw, speed, all_pos, all_yaw, all_ext, all_active, self_mask
         & all_active[None, :]
         & ~self_mask
     )
-    gap = jnp.where(in_corridor, along - all_ext[None, :, 0], 1e4)
+    # bumper-to-bumper clearance: subtract the other's rear extent AND my own
+    # front extent (without the latter, followers stop with their center 2 m
+    # from the leader's rear — 0.45 m inside its box — and creep-collide)
+    gap = along - all_ext[None, :, 0]
+    if self_ext_x is not None:
+        gap = gap - self_ext_x[:, None]
+    gap = jnp.where(in_corridor, gap, 1e4)
     return jnp.min(gap, axis=-1)
 
 
 def _cross_conflict_yield(pos, yaw, speed, all_pos, all_yaw, all_speed,
-                          all_active, self_mask, priority_over_me):
+                          all_active, self_mask, priority_over_me,
+                          is_static_priority=False):
     """Junction arbitration: True for vehicles that must yield.
 
     CARLA's TrafficManager negotiates crossing priority inside junctions; the
@@ -102,12 +117,20 @@ def _cross_conflict_yield(pos, yaw, speed, all_pos, all_yaw, all_speed,
     # conflict must be ahead-ish of me (not someone crossing behind)
     rel_now = all_pos[None, :, :] - pos[:, None, :]
     ahead = jnp.einsum("vac,vc->va", rel_now, my_fwd) > -2.0
-    moving = all_speed > 0.5       # a stopped actor is a gap problem, not a
-                                   # crossing one (gap logic handles it)
+    moving = all_speed > 0.5       # a stopped NPC is a gap problem, not a
+                                   # crossing one (gap logic handles it) — but
+                                   # a STOPPED EGO nosed into the junction must
+                                   # still be yielded to (its forecast is its
+                                   # position; crossing NPCs were clipping its
+                                   # corners), hence is_static_priority
+    # tighter disc for the static-ego case: the box half-diagonal is ~2.7 m,
+    # and 3.0 m would also snag NPCs passing in the adjacent lane beside a
+    # stopped ego queue
+    disc = jnp.where(is_static_priority & ~(all_speed > 0.5), 2.4, 3.0)
     conflict = (
-        jnp.any(d < 3.0, axis=-1)
+        jnp.any(d < disc[None, :, None], axis=-1)
         & ahead
-        & moving[None, :]
+        & (moving | is_static_priority)[None, :]
         & all_active[None, :]
         & ~self_mask
         & priority_over_me
@@ -116,8 +139,14 @@ def _cross_conflict_yield(pos, yaw, speed, all_pos, all_yaw, all_speed,
 
 
 def _red_light_dist(town: TownMap, tl_states, pos, yaw):
-    """Distance to the nearest red/yellow stop point that this vehicle is
-    approaching (same heading ±45°, ahead, within tl_stop_distance)."""
+    """Distance to MY approach stop line if it is red/yellow, else large.
+
+    Only the NEAREST aligned stop line ahead governs (TrafficLightHandler
+    semantics: an agent is bound by its own approach light). Checking "any
+    red within range" instead froze whole roads: junction-crossing clusters
+    can split into several signal groups, so some line ahead is red at every
+    instant and every vehicle waited on a red that was never its own.
+    """
     fwd = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)], axis=-1)           # (V, 2)
     rel = town.tl_pos[None, :, :] - pos[:, None, :]                  # (V, NL, 2)
     along = jnp.einsum("vlc,vc->vl", rel, fwd)
@@ -125,16 +154,18 @@ def _red_light_dist(town: TownMap, tl_states, pos, yaw):
         rel[..., 0] * (-jnp.sin(yaw))[:, None] + rel[..., 1] * jnp.cos(yaw)[:, None]
     )
     heading_ok = jnp.abs(wrap_angle(town.tl_yaw[None, :] - yaw[:, None])) < jnp.pi / 4
-    stopping = (tl_states == TL_RED) | (tl_states == TL_YELLOW)
-    relevant = (
+    cand = (
         (along > -2.0)
         & (lateral < 3.0)
         & heading_ok
-        & stopping[None, :]
         & town.tl_valid[None, :]
     )
-    d = jnp.where(relevant, along, 1e4)
-    return jnp.min(d, axis=-1)
+    along_c = jnp.where(cand, along, 1e4)
+    k = jnp.argmin(along_c, axis=-1)                                 # (V,)
+    d_near = jnp.min(along_c, axis=-1)
+    near_state = tl_states[k]
+    stopping = (near_state == TL_RED) | (near_state == TL_YELLOW)
+    return jnp.where(stopping & (d_near < 1e3), d_near, 1e4)
 
 
 def traffic_policy(
@@ -177,7 +208,8 @@ def traffic_policy(
         jax.lax.broadcasted_iota(jnp.int32, (V, A), 1)
         == jax.lax.broadcasted_iota(jnp.int32, (V, A), 0)
     )
-    gap = _front_gap(veh_pos, veh_yaw, veh_speed, all_pos, all_yaw, all_ext, all_active, self_mask)
+    gap = _front_gap(veh_pos, veh_yaw, veh_speed, all_pos, all_yaw, all_ext,
+                     all_active, self_mask, self_ext_x=veh_ext[:, 0])
 
     d_red = _red_light_dist(town, tl_states, veh_pos, veh_yaw)
     gap = jnp.minimum(gap, jnp.where(d_red < cfg.tl_stop_distance, d_red - 2.0, 1e4))
@@ -193,6 +225,7 @@ def traffic_policy(
     must_yield = _cross_conflict_yield(
         veh_pos, veh_yaw, veh_speed, all_pos, all_yaw, all_speed,
         all_active, self_mask, priority,
+        is_static_priority=(ot_idx == V)[0],       # ego column, any row
     )
     gap = jnp.where(must_yield, jnp.minimum(gap, 2.5), gap)
 
@@ -208,6 +241,17 @@ def traffic_policy(
         cruise * jnp.clip((gap - 2.0) / jnp.maximum(desired_gap, 1e-3), 0.0, 1.0),
         cruise,
     )
+    # slow through turns: the straight-line corridor cannot see a conflict
+    # that the lane curls into until the turn is nearly done, so cap speed by
+    # the upcoming lane heading change (~8 m ahead) — CARLA TM vehicles slow
+    # in junctions the same way. Without this, NPCs exited corners at 7 m/s
+    # into a stopped ego 5 m away (observed collision mode).
+    wp_ahead = veh_wp
+    for _ in range(4):
+        wp_ahead = town.lane_next[wp_ahead]
+    turn = jnp.abs(wrap_angle(town.lane_yaw[wp_ahead] - veh_yaw))
+    v_turn = jnp.where(turn > 0.6, 2.5, jnp.where(turn > 0.3, 4.0, 1e4))
+    v_des = jnp.minimum(v_des, v_turn)
     accel = jnp.clip((v_des - veh_speed) / 0.5, -cfg.npc_decel, cfg.npc_accel)
 
     new_wp = _advance_wp(town, veh_wp, veh_pos)

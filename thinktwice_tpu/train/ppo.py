@@ -97,26 +97,15 @@ def hazard_desired_speed(cfg: Config, town: TownMap, state: WorldState):
     This is carla-roach's hazard-adaptive desired speed (the term that makes
     *stopping at red lights rewarded* rather than merely unpenalized)."""
     from thinktwice_tpu.agents.expert import hazard_brake
-    from thinktwice_tpu.geometry import wrap_angle
-    from thinktwice_tpu.maps.town import TL_GREEN, traffic_light_states
+    from thinktwice_tpu.maps.town import traffic_light_states
+    from thinktwice_tpu.sim.traffic import _red_light_dist
 
     ego = state.ego
-    fwd = jnp.stack([jnp.cos(ego.yaw), jnp.sin(ego.yaw)])
-    right = jnp.stack([-jnp.sin(ego.yaw), jnp.cos(ego.yaw)])
     tl_states = traffic_light_states(town, state.time_s)
-    center = town.tl_stopline.mean(axis=1)
-    rel = center - ego.pos[None]
-    ahead = rel @ fwd
-    lat = jnp.abs(rel @ right)
-    aligned = jnp.abs(wrap_angle(town.tl_yaw - ego.yaw)) < jnp.pi / 3
-    red_ahead = jnp.any(
-        town.tl_valid
-        & (tl_states != TL_GREEN)
-        & aligned
-        & (ahead > 0.0)
-        & (ahead < 16.0)
-        & (lat < 3.5)
-    )
+    # nearest-approach-line semantics (see _red_light_dist): any-red-ahead
+    # froze agents at split-group junctions where some line is always red
+    d_red = _red_light_dist(town, tl_states, ego.pos[None], ego.yaw[None])[0]
+    red_ahead = d_red < 16.0
     blocked_ahead = hazard_brake(cfg, state)
     return jnp.where(red_ahead | blocked_ahead, 0.0, DESIRED_SPEED)
 
