@@ -85,8 +85,13 @@ def main():
     n_val = 8
     train_routes = jnp.asarray(bank[n_val:], jnp.float32)
     val_routes = jnp.asarray(bank[:n_val], jnp.float32)
-    town = compile_town(H5, polys, max_lane_pts=49152, max_road_segs=8192,
-                        max_lane_segs=8192)
+    from thinktwice_tpu.maps.cache import town05_cached
+
+    eval_routes_xml = ("/root/reference/leaderboard/data/"
+                      "routes_for_evaluation/routes_town05_long.xml")
+    town = town05_cached(
+        H5, [eval_routes_xml] + sorted(glob.glob(TRAIN_GLOB))[:4],
+        max_lane_pts=49152, max_road_segs=8192, max_lane_segs=8192)
     print(f"routes: {len(bank) - n_val} train / {n_val} val")
 
     cfg = Config(

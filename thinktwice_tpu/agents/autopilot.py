@@ -27,7 +27,7 @@ from thinktwice_tpu.maps.town import TownMap, traffic_light_states
 from thinktwice_tpu.sim.state import WorldState
 from thinktwice_tpu.sim.traffic import _front_gap, _red_light_dist
 
-CRUISE = 6.0
+CRUISE = 6.5
 COMFORT_DECEL = 3.0      # m/s^2 used for stop-distance speed profiles
 
 
@@ -55,7 +55,7 @@ def autopilot_control(cfg: Config, town: TownMap, state: WorldState):
     ryaw = route[idx, 2]
     nvec = jnp.stack([-jnp.sin(ryaw), jnp.cos(ryaw)])
     xtrack = jnp.dot(ego.pos - route[idx, :2], nvec)   # +: ego left of route
-    steer = jnp.clip(2.2 * err - 0.10 * xtrack, -1.0, 1.0)
+    steer = jnp.clip(2.5 * err - 0.15 * xtrack, -1.0, 1.0)
 
     # ---- curvature slowdown ----------------------------------------------
     def turn_ahead(meters):
@@ -63,7 +63,7 @@ def autopilot_control(cfg: Config, town: TownMap, state: WorldState):
         return jnp.abs(wrap_angle(route[j, 2] - route[idx, 2]))
 
     t10, t20 = turn_ahead(10.0), turn_ahead(20.0)
-    v_curve = jnp.where(t10 > 0.5, 2.5, jnp.where(t10 > 0.25, 3.5, CRUISE))
+    v_curve = jnp.where(t10 > 0.5, 2.2, jnp.where(t10 > 0.25, 3.2, CRUISE))
     v_curve = jnp.minimum(
         v_curve, jnp.where(t20 > 0.5, 4.0, CRUISE)
     )
@@ -115,7 +115,7 @@ def autopilot_control(cfg: Config, town: TownMap, state: WorldState):
     # than 6 m: creep forward (the world's recycle rule will clear whatever
     # queue caused it; without creep the ego never re-probes the gap).
     creep = (
-        (state.criteria.blocked_s > 25.0) & (gap > 3.0) & (d_red > 6.0)
+        (state.criteria.blocked_s > 15.0) & (gap > 3.0) & (d_red > 6.0)
     )
     v_des = jnp.where(creep, jnp.maximum(v_des, 1.2), v_des)
 

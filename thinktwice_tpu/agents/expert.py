@@ -84,13 +84,16 @@ def hazard_brake(cfg: Config, state: WorldState) -> jax.Array:
         hit = (along > -1.0) & (along < margin_along) & (lat < margin_lat)
         return jnp.any(hit & active[None, :])
 
+    # speed-dependent along margin: at cruise the ego needs ~v^2/2a + reaction
+    # distance; fixed 6 m margins braked too late for scripted scenario
+    # vehicles crossing at speed (observed front-corner clips at junctions)
     veh = forecast_hit(
         state.traffic.pos, state.traffic.yaw, state.traffic.speed,
-        state.traffic.active, 6.0, 2.0,
+        state.traffic.active, 4.0 + 1.0 * ego.speed, 2.0,
     )
     wlk = forecast_hit(
         state.walkers.pos, state.walkers.yaw, state.walkers.speed,
-        state.walkers.active, 5.0, 2.2,
+        state.walkers.active, 3.5 + 0.8 * ego.speed, 2.2,
     )
     return veh | wlk
 

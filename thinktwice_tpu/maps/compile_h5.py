@@ -71,7 +71,7 @@ def _junction_stoplines(
     setback: float = 10.0,
     lane_half_w: float = 3.5,
     cross_angle_min: float = np.deg2rad(40.0),
-    junction_radius: float = 25.0,
+    junction_radius: float = 40.0,
     max_segments: int = 256,
 ):
     """Derive per-approach stop lines from crossings between route polylines.
@@ -149,8 +149,12 @@ def _junction_stoplines(
             p = poly[back]
             t = poly[min(back + 1, len(poly) - 1)] - poly[max(back - 1, 0)]
             yaw = float(np.arctan2(t[1], t[0]))
-            # dedup approaches with similar heading at this junction
-            if any(abs(np.arctan2(np.sin(yaw - h), np.cos(yaw - h))) < 0.5
+            # dedup approaches with similar heading at this junction (0.7 rad
+            # keeps the four 90°-separated real approaches and drops the
+            # near-diagonal duplicates contributed by turning routes; greedy
+            # 25 m clustering also used to split one junction's crossing
+            # cloud into two groups with conflicting phases — radius 40 m)
+            if any(abs(np.arctan2(np.sin(yaw - h), np.cos(yaw - h))) < 0.7
                    for h in seen_headings):
                 continue
             seen_headings.append(yaw)
@@ -373,13 +377,16 @@ def compile_town(
         # minor junctions become stop-controlled so RunningStopTest is
         # exercisable on imported towns.
         if len(groups):
-            n_groups = groups.max() + 1
-            centers_g = np.stack(
-                [tl_pos[groups == g].mean(0) for g in range(n_groups)]
-            )
-            cover = np.asarray(
-                [_road_coverage(road, offset, ppm / ds, c) for c in centers_g]
-            )
+            # group ids can be sparse (a junction whose approaches were all
+            # heading-deduped leaves an empty id) — classify present ids only
+            cover_of = {
+                g: _road_coverage(road, offset, ppm / ds,
+                                  tl_pos[groups == g].mean(0))
+                for g in np.unique(groups)
+            }
+            cover = np.zeros(int(groups.max()) + 1)
+            for g, cv in cover_of.items():
+                cover[g] = cv
             # measured on Town05: real 4-way crossings fill >=0.62 of an
             # 18 m disc, T/side junctions ~0.55-0.62, and detections on mere
             # road curves sit below 0.55 — those are artifacts of the
