@@ -167,6 +167,17 @@ class RasterPlanner:
             ~clear, return_indices=True
         )
         self._snap_idx = self._snap_idx.astype(np.int32)
+        # wider-clearance snap table for TURNS: a turning box sweeps its
+        # half-diagonal (2.67 m), not its half-width — corner clips happened
+        # with the ego within 1 m of a route that itself had 1.1-1.5 m
+        # clearance (measured route-0: every layout hit at turn_5m > 10 deg)
+        clear2 = self._edge_fine_m >= 2.0
+        if not clear2.any():
+            clear2 = clear
+        _, self._snap_idx2 = ndimage.distance_transform_edt(
+            ~clear2, return_indices=True
+        )
+        self._snap_idx2 = self._snap_idx2.astype(np.int32)
 
     # --- coordinate helpers ------------------------------------------------
     def _to_cell(self, xy) -> tuple[int, int]:
@@ -311,27 +322,112 @@ class RasterPlanner:
         pix = (dense - self.offset[None]) * self.ppm
         r = np.clip(pix[:, 1].astype(int), 0, self._road_fine.shape[0] - 1)
         c = np.clip(pix[:, 0].astype(int), 0, self._road_fine.shape[1] - 1)
-        need_fix = ~self._road_fine[r, c] | (self._edge_fine_m[r, c] < 1.15)
-        nr = self._snap_idx[0, r, c].astype(np.float64)
-        nc = self._snap_idx[1, r, c].astype(np.float64)
+        # local turn magnitude (heading change over ~8 m) decides the
+        # clearance the ego's swept box needs at each point
+        n_ = len(dense)
+        i0 = np.maximum(np.arange(n_) - 4, 0)
+        i1 = np.minimum(np.arange(n_) + 4, n_ - 1)
+        back = dense - dense[i0]
+        fwd_ = dense[i1] - dense
+        hdg_b = np.arctan2(back[:, 1], back[:, 0])
+        hdg_f = np.arctan2(fwd_[:, 1], fwd_[:, 0])
+        turn = np.abs(np.arctan2(np.sin(hdg_f - hdg_b), np.cos(hdg_f - hdg_b)))
+        turning = turn > 0.15
+        turning[:5] = turning[-5:] = False   # degenerate end windows
+        # dilate so a whole turn snaps against ONE clearance table — a
+        # turning/straight boundary otherwise snaps adjacent points to
+        # different targets and leaves a >60° heading kink at the seam
+        from scipy import ndimage as _ndi
+
+        turning = _ndi.binary_dilation(turning, iterations=4)
+        edge_here = self._edge_fine_m[r, c]
+        need_fix = ~self._road_fine[r, c] | (edge_here < 1.15) | (
+            turning & (edge_here < 1.7)
+        )
+        nr = np.where(turning, self._snap_idx2[0, r, c],
+                      self._snap_idx[0, r, c]).astype(np.float64)
+        nc = np.where(turning, self._snap_idx2[1, r, c],
+                      self._snap_idx[1, r, c]).astype(np.float64)
         snapped = np.stack([nc, nr], axis=1) / self.ppm + self.offset[None]
         dense = np.where(need_fix[:, None], snapped, dense)
         # the snap leaves ~meter-scale kinks; relax them where the smoothed
-        # point keeps clearance
-        for _ in range(2):
+        # point keeps clearance — or at least does not lose any (so kinks
+        # in tight spots still smooth instead of surviving as >60° heading
+        # jumps in the final route)
+        for _ in range(4):
+            pix0 = (dense - self.offset[None]) * self.ppm
+            r0 = np.clip(pix0[:, 1].astype(int), 0, self._road_fine.shape[0] - 1)
+            c0 = np.clip(pix0[:, 0].astype(int), 0, self._road_fine.shape[1] - 1)
+            edge_cur = self._edge_fine_m[r0, c0]
             sm = dense.copy()
             sm[2:-2] = (dense[:-4] + dense[1:-3] + dense[2:-2]
                         + dense[3:-1] + dense[4:]) / 5.0
             pix = (sm - self.offset[None]) * self.ppm
             r = np.clip(pix[:, 1].astype(int), 0, self._road_fine.shape[0] - 1)
             c = np.clip(pix[:, 0].astype(int), 0, self._road_fine.shape[1] - 1)
-            ok = self._road_fine[r, c] & (self._edge_fine_m[r, c] >= 1.0)
+            edge_sm = self._edge_fine_m[r, c]
+            ok = self._road_fine[r, c] & (
+                (edge_sm >= np.where(turning, 1.6, 1.0))
+                | (edge_sm >= edge_cur - 0.05)
+            )
             dense = np.where(ok[:, None], sm, dense)
-        # headings from ±2-point central differences: the snap bunches some
-        # points, and single-step finite differences there are pure noise
+        # targeted hairpin removal: any remaining >35° heading jump between
+        # successive points is a snap seam no vehicle can track (turn radius
+        # < 1 m); smooth a window around it accepting ANY on-road position —
+        # a momentary clearance dip beats an untrackable kink
+        for _ in range(6):
+            seg_ = np.diff(dense, axis=0)
+            hd_ = np.arctan2(seg_[:, 1], seg_[:, 0])
+            dh_ = np.abs(np.arctan2(np.sin(np.diff(hd_)), np.cos(np.diff(hd_))))
+            kinks = np.nonzero(dh_ > 0.6)[0] + 1
+            if not len(kinks):
+                break
+            win = np.zeros(len(dense), bool)
+            for k in kinks:
+                win[max(k - 3, 0): k + 4] = True
+            win[0] = win[-1] = False
+            sm = dense.copy()
+            sm[1:-1] = (dense[:-2] + dense[1:-1] + dense[2:]) / 3.0
+            pix = (sm - self.offset[None]) * self.ppm
+            r = np.clip(pix[:, 1].astype(int), 0, self._road_fine.shape[0] - 1)
+            c = np.clip(pix[:, 0].astype(int), 0, self._road_fine.shape[1] - 1)
+            ok = win & self._road_fine[r, c]
+            dense = np.where(ok[:, None], sm, dense)
+
+        # the snap/smooth passes bunch some points onto shared pixels, which
+        # turns finite-difference headings into noise — resample to uniform
+        # arc length before computing yaw, then pull any interpolated point
+        # that cut an off-road chord back onto the road
+        dense = densify_polyline(dense, spacing=spacing).astype(np.float64)
+        pix = (dense - self.offset[None]) * self.ppm
+        r = np.clip(pix[:, 1].astype(int), 0, self._road_fine.shape[0] - 1)
+        c = np.clip(pix[:, 0].astype(int), 0, self._road_fine.shape[1] - 1)
+        off = ~self._road_fine[r, c]
+        nr = self._snap_idx[0, r, c].astype(np.float64)
+        nc = self._snap_idx[1, r, c].astype(np.float64)
+        dense = np.where(
+            off[:, None],
+            np.stack([nc, nr], axis=1) / self.ppm + self.offset[None],
+            dense,
+        )
+        # the pull-back jitters points near convex curb corners; relax the
+        # neighborhoods (on-road acceptance only) so headings stay smooth
+        win = _ndi.binary_dilation(off, iterations=3)
+        win[0] = win[-1] = False
+        for _ in range(3):
+            sm = dense.copy()
+            sm[1:-1] = (dense[:-2] + dense[1:-1] + dense[2:]) / 3.0
+            pix = (sm - self.offset[None]) * self.ppm
+            r = np.clip(pix[:, 1].astype(int), 0, self._road_fine.shape[0] - 1)
+            c = np.clip(pix[:, 0].astype(int), 0, self._road_fine.shape[1] - 1)
+            ok = win & self._road_fine[r, c]
+            dense = np.where(ok[:, None], sm, dense)
+
+        # headings from ±3-point central differences (tolerates the ~0.4 m
+        # pull-back jitter near curb corners without heading spikes)
         n = len(dense)
-        i0 = np.maximum(np.arange(n) - 2, 0)
-        i1 = np.minimum(np.arange(n) + 2, n - 1)
+        i0 = np.maximum(np.arange(n) - 3, 0)
+        i1 = np.minimum(np.arange(n) + 3, n - 1)
         diffs = dense[i1] - dense[i0]
         yaw = np.arctan2(diffs[:, 1], diffs[:, 0])
         route = np.concatenate([dense, yaw[:, None]], axis=1).astype(np.float32)
