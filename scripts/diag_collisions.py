@@ -20,6 +20,7 @@ from thinktwice_tpu.config import Config, SimConfig
 from thinktwice_tpu.geometry import obb_overlap, wrap_angle
 from thinktwice_tpu.harness.route_parser import parse_routes_file
 from thinktwice_tpu.maps.router import raster_planner
+from thinktwice_tpu.harness.evaluator import build_route_scenarios, derive_map_triggers
 from thinktwice_tpu.sim.reset import reset_world
 from thinktwice_tpu.sim.step import step_world
 from scripts.diag_blocked import H5, ROUTES, get_town
@@ -40,8 +41,9 @@ def main():
     if len(dense) < R:
         dense = np.concatenate([dense, np.repeat(dense[-1:], R - len(dense), 0)])
     dense_j = jnp.asarray(dense[:R], jnp.float32)
+    scen = build_route_scenarios(cfg, dense, derive_map_triggers(town, dense))
     state = reset_world(cfg, town, dense_j, jax.random.key(0),
-                        n_vehicles=n_veh)
+                        n_vehicles=n_veh, scenario=scen)
 
     @jax.jit
     def run(state):
@@ -53,6 +55,12 @@ def main():
                 st2.traffic.pos, st2.traffic.yaw, st2.traffic.extent,
             ) & st2.traffic.active
             k = jnp.argmax(hits)
+            scen_slot = jnp.any(
+                (st2.scenario.state > 0) & (st2.scenario.actor_idx == k)
+            ) | jnp.any(
+                (st2.scenario.state > 0) & (st2.scenario.kind == 7)
+                & (st2.scenario.param[:, 3].astype(jnp.int32) == k)
+            )
             rel = st2.traffic.pos[k] - st2.ego.pos
             c, s = jnp.cos(-st2.ego.yaw), jnp.sin(-st2.ego.yaw)
             rel_ego = jnp.stack([rel[0] * c - rel[1] * s,
@@ -64,6 +72,7 @@ def main():
                 other_stop_s=st2.traffic.stop_s[k],
                 rel=rel_ego,
                 dyaw=wrap_angle(st2.traffic.yaw[k] - st2.ego.yaw),
+                slot=k, scen_slot=scen_slot,
                 comp=st2.criteria.route_completion,
                 done=st2.criteria.done,
             )
@@ -81,7 +90,8 @@ def main():
               f"v_ego={tel['ego_speed'][t]:4.1f} v_oth={tel['other_speed'][t]:4.1f} "
               f"oth_stop_s={tel['other_stop_s'][t]:5.1f} "
               f"rel_ego=({r[0]:5.1f},{r[1]:5.1f}) "
-              f"dyaw={np.rad2deg(tel['dyaw'][t]):6.0f}deg")
+              f"dyaw={np.rad2deg(tel['dyaw'][t]):6.0f}deg "
+              f"slot={tel['slot'][t]} scen={bool(tel['scen_slot'][t])}")
 
 
 if __name__ == "__main__":

@@ -60,6 +60,7 @@ def main():
     ap.add_argument("--no-scenarios", action="store_true")
     ap.add_argument("--worlds-per-batch", type=int, default=10)
     ap.add_argument("--segment", type=int, default=1024)
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--sweeps", type=int, default=2,
                     help="student model n_sweeps (must match training)")
     ap.add_argument("--backbone", type=int, default=50)
@@ -175,6 +176,7 @@ def main():
         out_path=out,
         scenarios=scens,
         weathers=weathers,
+        seed=args.seed,
         verbose=True,
     )
     from thinktwice_tpu.harness.result_writer import print_results

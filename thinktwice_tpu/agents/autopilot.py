@@ -27,7 +27,7 @@ from thinktwice_tpu.maps.town import TownMap, traffic_light_states
 from thinktwice_tpu.sim.state import WorldState
 from thinktwice_tpu.sim.traffic import _front_gap, _red_light_dist
 
-CRUISE = 6.5
+CRUISE = 7.0
 COMFORT_DECEL = 3.0      # m/s^2 used for stop-distance speed profiles
 
 
@@ -63,7 +63,7 @@ def autopilot_control(cfg: Config, town: TownMap, state: WorldState):
         return jnp.abs(wrap_angle(route[j, 2] - route[idx, 2]))
 
     t10, t20 = turn_ahead(10.0), turn_ahead(20.0)
-    v_curve = jnp.where(t10 > 0.5, 2.2, jnp.where(t10 > 0.25, 3.2, CRUISE))
+    v_curve = jnp.where(t10 > 0.5, 2.2, jnp.where(t10 > 0.25, 3.5, CRUISE))
     v_curve = jnp.minimum(
         v_curve, jnp.where(t20 > 0.5, 4.0, CRUISE)
     )
@@ -117,7 +117,7 @@ def autopilot_control(cfg: Config, town: TownMap, state: WorldState):
     creep = (
         (state.criteria.blocked_s > 15.0) & (gap > 3.0) & (d_red > 6.0)
     )
-    v_des = jnp.where(creep, jnp.maximum(v_des, 1.2), v_des)
+    v_des = jnp.where(creep, jnp.maximum(v_des, 1.5), v_des)
 
     # ---- throttle / brake -------------------------------------------------
     throttle = jnp.clip(0.9 * (v_des - ego.speed), 0.0, 0.85)

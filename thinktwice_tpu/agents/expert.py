@@ -89,7 +89,7 @@ def hazard_brake(cfg: Config, state: WorldState) -> jax.Array:
     # vehicles crossing at speed (observed front-corner clips at junctions)
     veh = forecast_hit(
         state.traffic.pos, state.traffic.yaw, state.traffic.speed,
-        state.traffic.active, 4.0 + 1.0 * ego.speed, 2.0,
+        state.traffic.active, 4.0 + 1.0 * ego.speed, 2.2,
     )
     wlk = forecast_hit(
         state.walkers.pos, state.walkers.yaw, state.walkers.speed,

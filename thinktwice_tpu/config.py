@@ -52,7 +52,7 @@ class SimConfig:
     npc_max_yaw_rate: float = 1.2   # rad/s
     npc_lookahead: float = 6.0      # m pure-pursuit lookahead
     tl_stop_distance: float = 24.0  # m start braking for red within this
-    npc_recycle_s: float = 30.0     # NPC stationary this long -> respawn on a
+    npc_recycle_s: float = 20.0     # NPC stationary this long -> respawn on a
                                     # free lane (outlasts any red phase; stands
                                     # in for TrafficManager's global flow —
                                     # without it queue deadlocks are permanent)

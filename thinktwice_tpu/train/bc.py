@@ -104,51 +104,59 @@ def make_bc(cfg: Config, bcfg: BCConfig, town: TownMap, routes):
 
     @jax.jit
     def rollout_fn(env_states, rng):
-        """Drive the autopilot teacher; record frames on the 10 Hz cadence."""
+        """Drive the autopilot teacher; one frame per 10 Hz macro step (the
+        expert's decision cadence — also keeps the stored birdview buffer at
+        half the tick count, which is what fits HBM)."""
 
-        def step(carry, k):
+        def macro(carry, _):
             states, rng = carry
             rng, rn, rr = jax.random.split(rng, 3)
+            bv = jax.vmap(lambda s: birdview_from_state(cfg.birdview, town, s))(
+                states
+            )
+            sv = jax.vmap(state_vector)(states)
             ctrl = jax.vmap(lambda s: autopilot_control(cfg, town, s))(states)
             # exploration noise on the applied steering only — the RECORDED
             # label stays the teacher's clean action (DAgger-style: noisy
             # execution, expert labels)
             noise = bcfg.steer_noise * jax.random.normal(rn, (W,))
             ctrl_exec = ctrl.at[:, 0].add(noise)
-            record = (k % 2) == 0
-            bv = jax.vmap(lambda s: birdview_from_state(cfg.birdview, town, s))(
-                states
-            )
-            sv = jax.vmap(state_vector)(states)
-            new_states, events = jax.vmap(
-                lambda s, c: step_world(cfg, town, s, c)
-            )(states, ctrl_exec)
-            desired = jax.vmap(lambda s: hazard_desired_speed(cfg, town, s))(
-                states
-            )
-            rew, _ = jax.vmap(compute_reward)(states, new_states, events, desired)
-            done = new_states.criteria.done
-            new_states = jax.vmap(maybe_reset)(
-                new_states, done, jax.random.split(rr, W), jnp.arange(W)
+            rew_sum = jnp.zeros((W,))
+            for _k in range(2):
+                new_states, events = jax.vmap(
+                    lambda s, c: step_world(cfg, town, s, c)
+                )(states, ctrl_exec)
+                desired = jax.vmap(
+                    lambda s: hazard_desired_speed(cfg, town, s)
+                )(states)
+                rew, _ = jax.vmap(compute_reward)(
+                    states, new_states, events, desired
+                )
+                rew_sum = rew_sum + rew
+                states = new_states
+            done = states.criteria.done
+            states = jax.vmap(maybe_reset)(
+                states, done, jax.random.split(rr, W), jnp.arange(W)
             )
             frame = {
                 "bv_u8": (bv * 255.0).astype(jnp.uint8),
                 "sv": sv,
                 "action": control_to_acc(ctrl),
-                "reward": rew,
+                "reward": rew_sum,
                 "done": done,
-                "record": jnp.full((W,), record),
             }
-            return (new_states, rng), frame
+            return (states, rng), frame
 
         (env_states, _), traj = jax.lax.scan(
-            step, (env_states, rng), jnp.arange(bcfg.n_steps)
+            macro, (env_states, rng), None, length=bcfg.n_steps // 2
         )
         return env_states, traj
 
     def discounted_returns(traj):
+        g2 = GAMMA * GAMMA   # one macro frame = two sim ticks
+
         def back(carry, t):
-            ret = t["reward"] + GAMMA * carry * (1.0 - t["done"].astype(jnp.float32))
+            ret = t["reward"] + g2 * carry * (1.0 - t["done"].astype(jnp.float32))
             return ret, ret
 
         _, rets = jax.lax.scan(
@@ -164,25 +172,17 @@ def make_bc(cfg: Config, bcfg: BCConfig, town: TownMap, routes):
             + ACTION_JITTER * jax.random.normal(rng, batch["action"].shape),
             -0.999, 0.999,
         )
-        nll = -beta_log_prob(jit_a, out["alpha"], out["beta"])
-        v_err = (out["value"][:, 0] - batch["ret"]) ** 2
+        nll = jnp.mean(-beta_log_prob(jit_a, out["alpha"], out["beta"]))
+        v_err = jnp.mean((out["value"][:, 0] - batch["ret"]) ** 2)
         conc = jnp.mean(out["alpha"] + out["beta"])
-        w = batch["w"]
-        loss = (
-            jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
-            + VALUE_COEF * jnp.sum(v_err * w) / jnp.maximum(jnp.sum(w), 1.0)
-            + CONC_PENALTY * conc
-        )
+        loss = nll + VALUE_COEF * v_err + CONC_PENALTY * conc
         # action-error diagnostic: Beta mode vs label
         from thinktwice_tpu.agents.roach import beta_mode
 
         mode = beta_mode(out["alpha"], out["beta"])
-        mae = jnp.sum(
-            jnp.abs(mode - batch["action"]) * w[:, None]
-        ) / jnp.maximum(jnp.sum(w) * 2, 1.0)
-        return loss, {"bc_nll": jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0),
-                      "v_mse": jnp.sum(v_err * w) / jnp.maximum(jnp.sum(w), 1.0),
-                      "conc": conc, "action_mae": mae}
+        mae = jnp.mean(jnp.abs(mode - batch["action"]))
+        return loss, {"bc_nll": nll, "v_mse": v_err, "conc": conc,
+                      "action_mae": mae}
 
     @jax.jit
     def update_fn(params, opt_state, flat, rng):
@@ -226,7 +226,6 @@ def make_bc(cfg: Config, bcfg: BCConfig, town: TownMap, routes):
             "sv": traj["sv"].reshape(-1, traj["sv"].shape[-1]),
             "action": traj["action"].reshape(-1, 2),
             "ret": rets.reshape(-1),
-            "w": traj["record"].reshape(-1).astype(jnp.float32),
         }
         params, opt_state, metrics = update_fn(params, opt_state, flat, r2)
         metrics = dict(metrics)
