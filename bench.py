@@ -135,7 +135,7 @@ def main():
     )
     # use the PPO-trained expert when available so the benchmark exercises
     # real driving behavior (traffic interactions, light stops)
-    for run_name in ("roach_town05_v2", "roach_town05", "roach_ppo"):
+    for run_name in ("roach_bc", "roach_town05_v2", "roach_town05", "roach_ppo"):
         ckpt = os.path.join(REPO, "runs", run_name, "ckpt")
         if os.path.isdir(ckpt):
             try:
