@@ -178,3 +178,32 @@ def test_planner_follows_keypoints_and_max_len(planner):
     assert np.allclose(p[-1], p[-2])
     t = s.dense(spacing=1.0, max_len=300, planner=planner)
     assert t.shape == (300, 3)
+
+
+def test_birdview_route_channel_on_town05(town05):
+    """The observation the expert trains on must actually show the route:
+    round-2's Pallas tile cap silently dropped the route/TL/actor layers on
+    imported towns (K_CAP << per-tile segment density), so every policy
+    learned route-blind. The default renderer must produce a populated route
+    channel at a route's spawn state."""
+    import jax
+    import jax.numpy as jnp
+
+    from thinktwice_tpu.config import Config, SimConfig
+    from thinktwice_tpu.sensors.birdview import birdview_from_state
+    from thinktwice_tpu.sim.reset import reset_world
+
+    town, specs = town05
+    cfg = Config(sim=SimConfig(
+        max_vehicles=8, max_walkers=4, max_lights=256, max_stop_signs=32,
+        max_route_len=512, max_scenarios=4))
+    dense = specs[0].dense(spacing=1.0)[:512]
+    if len(dense) < 512:
+        dense = np.concatenate(
+            [dense, np.repeat(dense[-1:], 512 - len(dense), 0)])
+    state = reset_world(cfg, town, jnp.asarray(dense, jnp.float32),
+                        jax.random.key(0), n_vehicles=4)
+    bv = jax.jit(lambda s: birdview_from_state(cfg.birdview, town, s))(state)
+    means = np.asarray(bv.mean(axis=(1, 2)))
+    assert means[0] > 0.2, f"road channel empty: {means}"
+    assert means[1] > 0.01, f"route channel empty: {means}"

@@ -43,7 +43,11 @@ LANES = 128       # tile cols
 N_COL_TILES = 2   # 192 cols -> 2 x 128 (padded)
 N_ROW_TILES = 24  # 192 rows / 8
 TILES = N_ROW_TILES * N_COL_TILES
-K_CAP = 128       # primitives per tile cap
+K_CAP = 256       # primitives per tile cap — dense imported towns exceed
+                  # even this (~430 road+lane segs/tile on Town05); the
+                  # essential sparse layers are listed FIRST so overflow
+                  # only erodes the static road fill, and the default
+                  # renderer is the exact XLA path (sensors/birdview.py)
 
 KIND_SEG, KIND_BOX = 0.0, 1.0
 
@@ -86,15 +90,10 @@ def _build_primitives(cfg: BirdviewConfig, town: TownMap, hist, route_window,
         rows.append(r)
         valids.append(valid)
 
-    # static road / lane geometry
-    add_segs(town.road_segs[:, 0:2], town.road_segs[:, 2:4],
-             town.road_segs[:, 4:5], town.road_seg_valid, 0)
-    lane_broken = town.lane_segs[:, 5] >= 0.5
-    add_segs(town.lane_segs[:, 0:2], town.lane_segs[:, 2:4],
-             town.lane_segs[:, 4:5], town.lane_seg_valid & ~lane_broken, 2)
-    add_segs(town.lane_segs[:, 0:2], town.lane_segs[:, 2:4],
-             town.lane_segs[:, 4:5], town.lane_seg_valid & lane_broken, 3)
-
+    # ORDER = overflow priority (top_k keeps the first K hits): the sparse,
+    # policy-critical layers go first; the dense static road fill goes last
+    # so a tile overflow erodes road coverage rather than blinding the
+    # policy to its route / lights / actors.
     # route polyline
     half_route = cfg.route_thickness / cfg.pixels_per_meter
     add_segs(route_window[:-1], route_window[1:], half_route,
@@ -116,6 +115,15 @@ def _build_primitives(cfg: BirdviewConfig, town: TownMap, hist, route_window,
             # active stop signs draw at the red value in the TL channel
             # (chauffeurnet.py:179 c_tl[stop_masks]=255) -> reuse the red bit
             add_boxes(stop_pose, stop_active, 12 + 3 * h + 2)
+
+    # static lane / road geometry LAST (see overflow-priority note above)
+    lane_broken = town.lane_segs[:, 5] >= 0.5
+    add_segs(town.lane_segs[:, 0:2], town.lane_segs[:, 2:4],
+             town.lane_segs[:, 4:5], town.lane_seg_valid & ~lane_broken, 2)
+    add_segs(town.lane_segs[:, 0:2], town.lane_segs[:, 2:4],
+             town.lane_segs[:, 4:5], town.lane_seg_valid & lane_broken, 3)
+    add_segs(town.road_segs[:, 0:2], town.road_segs[:, 2:4],
+             town.road_segs[:, 4:5], town.road_seg_valid, 0)
 
     prims = jnp.concatenate(rows, axis=0)
     valid = jnp.concatenate(valids, axis=0)

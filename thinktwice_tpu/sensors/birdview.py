@@ -275,7 +275,14 @@ def birdview_from_state(cfg: BirdviewConfig, town: TownMap, state: WorldState,
     )
 
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # Default to the exact XLA path. The tile-culled Pallas kernel is
+        # 2.6x faster but holds at most K_CAP primitives per (8 x 128)-pixel
+        # tile; imported Town05 reaches ~430 road+lane segments per tile, so
+        # the cap silently dropped the route / traffic-light / actor layers —
+        # every policy trained on TPU saw a route-blind observation (the
+        # session-2 expert's junction failures). Opt in only where the town's
+        # density is known to fit (procedural grids).
+        use_pallas = False
     if use_pallas:
         from thinktwice_tpu.ops.birdview_pallas import render_birdview_pallas
 
