@@ -96,17 +96,51 @@ def _boxes_mask(pts, pose, active, min_extent=0.0, scale=1.0):
     return jnp.any(inside, axis=0)
 
 
+SEG_CHUNK = 512   # segments per scan step — bounds the (N, P) intermediate.
+                  # At imported-Town05 capacities (8192 road + 8192 lane segs)
+                  # one unchunked mask is segs x pixels x worlds ~ 29 GB under
+                  # vmap; chunked it is <= 512 x 36864 x 4 B = 75 MB per world.
+
+
 def _segments_mask(pts, seg_a, seg_b, valid, half_width):
     """Coverage of thick segments. pts (P, 2); seg_a/b (N, 2); half_width
     scalar or (N,) -> (P,) bool."""
-    ab = seg_b - seg_a                                       # (N, 2)
-    denom = jnp.maximum(jnp.sum(ab * ab, -1), 1e-9)          # (N,)
-    rel = pts[None, :, :] - seg_a[:, None, :]                # (N, P, 2)
-    t = jnp.clip(jnp.einsum("npc,nc->np", rel, ab) / denom[:, None], 0.0, 1.0)
-    proj = seg_a[:, None, :] + t[..., None] * ab[:, None, :]
-    d = jnp.linalg.norm(pts[None] - proj, axis=-1)           # (N, P)
-    hw = jnp.broadcast_to(jnp.asarray(half_width), (seg_a.shape[0],))
-    return jnp.any((d <= hw[:, None]) & valid[:, None], axis=0)
+    N = seg_a.shape[0]
+    hw = jnp.broadcast_to(jnp.asarray(half_width, jnp.float32), (N,))
+
+    def chunk_mask(a, b, v, h):
+        ab = b - a                                           # (C, 2)
+        denom = jnp.maximum(jnp.sum(ab * ab, -1), 1e-9)      # (C,)
+        rel = pts[None, :, :] - a[:, None, :]                # (C, P, 2)
+        t = jnp.clip(
+            jnp.einsum("npc,nc->np", rel, ab) / denom[:, None], 0.0, 1.0
+        )
+        proj = a[:, None, :] + t[..., None] * ab[:, None, :]
+        d = jnp.linalg.norm(pts[None] - proj, axis=-1)       # (C, P)
+        return jnp.any((d <= h[:, None]) & v[:, None], axis=0)
+
+    if N <= SEG_CHUNK:
+        return chunk_mask(seg_a, seg_b, valid, hw)
+
+    pad = (-N) % SEG_CHUNK
+    a = jnp.pad(seg_a, ((0, pad), (0, 0)))
+    b = jnp.pad(seg_b, ((0, pad), (0, 0)))
+    v = jnp.pad(valid, (0, pad))
+    h = jnp.pad(hw, (0, pad))
+    n_chunks = (N + pad) // SEG_CHUNK
+    chunks = (
+        a.reshape(n_chunks, SEG_CHUNK, 2),
+        b.reshape(n_chunks, SEG_CHUNK, 2),
+        v.reshape(n_chunks, SEG_CHUNK),
+        h.reshape(n_chunks, SEG_CHUNK),
+    )
+
+    def body(acc, ch):
+        ca, cb, cv, chw = ch
+        return acc | chunk_mask(ca, cb, cv, chw), None
+
+    out, _ = jax.lax.scan(body, jnp.zeros(pts.shape[0], bool), chunks)
+    return out
 
 
 def _history_slot(hist: HistoryState, idx: int):
