@@ -72,6 +72,11 @@ def main():
     ap.add_argument("--vehicles", type=int, default=24)
     ap.add_argument("--out", default="runs/roach_bc")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--dagger", type=float, default=0.0,
+                    help="max prob of executing the learned policy per world "
+                         "per macro step (labels stay the teacher's)")
+    ap.add_argument("--dagger-ramp", type=int, default=100,
+                    help="iters to ramp the mix from 0 to --dagger")
     args = ap.parse_args()
 
     planner = raster_planner(H5)
@@ -100,12 +105,15 @@ def main():
     log = open(os.path.join(args.out, "metrics.jsonl"), "a")
     t0 = time.time()
     for it in range(args.iters):
+        mix = args.dagger * min(1.0, it / max(args.dagger_ramp, 1))
         params, opt_state, env_states, m = iterate_fn(
-            params, opt_state, env_states, jax.random.key(7000 + it)
+            params, opt_state, env_states, jax.random.key(7000 + it),
+            dagger_mix=mix,
         )
         if it % 5 == 0 or it == args.iters - 1:
             rec = {k: round(float(v), 5) for k, v in m.items()}
             rec["iter"] = it
+            rec["dagger_mix"] = round(mix, 3)
             rec["wall_s"] = round(time.time() - t0, 1)
             line = json.dumps(rec)
             print(line, flush=True)

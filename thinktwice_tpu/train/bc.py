@@ -60,6 +60,11 @@ class BCConfig:
     lr: float = 3e-4
     n_vehicles: int = 24
     seed: int = 0
+    # True-DAgger execution mixing: with prob `dagger_mix` a world executes
+    # the LEARNED policy's action this macro step (labels stay the teacher's)
+    # so the dataset covers the states the policy actually visits. Ramped
+    # from 0 by the caller (executing a random-init policy wastes rollouts).
+    dagger_mix: float = 0.0
 
 
 def make_bc(cfg: Config, bcfg: BCConfig, town: TownMap, routes):
@@ -103,14 +108,17 @@ def make_bc(cfg: Config, bcfg: BCConfig, town: TownMap, routes):
         return params, tx.init(params), env_states
 
     @jax.jit
-    def rollout_fn(env_states, rng):
+    def rollout_fn(params, env_states, rng, dagger_mix):
         """Drive the autopilot teacher; one frame per 10 Hz macro step (the
         expert's decision cadence — also keeps the stored birdview buffer at
-        half the tick count, which is what fits HBM)."""
+        half the tick count, which is what fits HBM). With prob `dagger_mix`
+        a world executes the learned policy instead (true DAgger: the labels
+        are always the teacher's corrective action at the visited state)."""
+        from thinktwice_tpu.agents.roach import acc_to_control, beta_mode
 
         def macro(carry, _):
             states, rng = carry
-            rng, rn, rr = jax.random.split(rng, 3)
+            rng, rn, rr, rd = jax.random.split(rng, 4)
             bv = jax.vmap(lambda s: birdview_from_state(cfg.birdview, town, s))(
                 states
             )
@@ -121,6 +129,10 @@ def make_bc(cfg: Config, bcfg: BCConfig, town: TownMap, routes):
             # execution, expert labels)
             noise = bcfg.steer_noise * jax.random.normal(rn, (W,))
             ctrl_exec = ctrl.at[:, 0].add(noise)
+            out = policy.apply(params, bv, sv)
+            pol_ctrl = acc_to_control(beta_mode(out["alpha"], out["beta"]))
+            use_pol = jax.random.bernoulli(rd, dagger_mix, (W,))
+            ctrl_exec = jnp.where(use_pol[:, None], pol_ctrl, ctrl_exec)
             rew_sum = jnp.zeros((W,))
             for _k in range(2):
                 new_states, events = jax.vmap(
@@ -187,7 +199,8 @@ def make_bc(cfg: Config, bcfg: BCConfig, town: TownMap, routes):
     @jax.jit
     def update_fn(params, opt_state, flat, rng):
         n = flat["action"].shape[0]
-        nmb = max(n // bcfg.minibatch, 1)
+        mb_size = min(bcfg.minibatch, n)
+        nmb = max(n // mb_size, 1)
 
         def epoch(carry, erng):
             params, opt_state = carry
@@ -197,7 +210,7 @@ def make_bc(cfg: Config, bcfg: BCConfig, town: TownMap, routes):
             def mb(carry, i):
                 params, opt_state = carry
                 idx = jax.lax.dynamic_slice_in_dim(
-                    perm, i * bcfg.minibatch, bcfg.minibatch
+                    perm, i * mb_size, mb_size
                 )
                 batch = jax.tree.map(lambda x: x[idx], flat)
                 (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -217,9 +230,12 @@ def make_bc(cfg: Config, bcfg: BCConfig, town: TownMap, routes):
         )
         return params, opt_state, jax.tree.map(lambda x: x[-1, -1], auxs)
 
-    def iterate_fn(params, opt_state, env_states, rng):
+    def iterate_fn(params, opt_state, env_states, rng, dagger_mix=None):
         r1, r2 = jax.random.split(rng)
-        env_states, traj = rollout_fn(env_states, r1)
+        mix = bcfg.dagger_mix if dagger_mix is None else dagger_mix
+        env_states, traj = rollout_fn(
+            params, env_states, r1, jnp.float32(mix)
+        )
         rets = jax.jit(discounted_returns)(traj)
         flat = {
             "bv_u8": traj["bv_u8"].reshape(-1, *traj["bv_u8"].shape[2:]),
