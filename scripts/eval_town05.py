@@ -59,7 +59,12 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--no-scenarios", action="store_true")
     ap.add_argument("--worlds-per-batch", type=int, default=10)
-    ap.add_argument("--segment", type=int, default=1024)
+    ap.add_argument("--segment", type=int, default=256,
+                    help="sim ticks per device call. Long single XLA "
+                         "executions (~minutes) have crashed the tunneled "
+                         "TPU worker; 256 keeps each call ~30 s")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip routes already in --out (crash recovery)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--sweeps", type=int, default=2,
                     help="student model n_sweeps (must match training)")
@@ -174,6 +179,7 @@ def main():
         worlds_per_batch=args.worlds_per_batch,
         segment_steps=args.segment,
         out_path=out,
+        resume=args.resume,
         scenarios=scens,
         weathers=weathers,
         seed=args.seed,

@@ -94,6 +94,47 @@ def test_traffic_moves_and_stays_on_road(small_cfg, town):
     assert np.all(on_road[act] > 0)
 
 
+def _lane_aligned_route(town, reverse=False, length=60.0, n=128):
+    """A route running along an actual +x lane of the grid town, mid-block
+    (away from junctions); reversed = wrong-way down that same lane."""
+    pts = np.asarray(town.lane_pts)
+    yaw = np.asarray(town.lane_yaw)
+    ok = np.asarray(town.lane_valid) & (np.abs(yaw) < 0.05)
+    ok &= (pts[:, 0] % 100.0 > 20.0) & (pts[:, 0] % 100.0 < 35.0)
+    i = np.nonzero(ok)[0][0]
+    x0, y0 = pts[i]
+    xs = np.linspace(x0, x0 + length, n)
+    if reverse:
+        xs = xs[::-1]
+    hdg = np.pi if reverse else 0.0
+    r = np.stack([xs, np.full_like(xs, y0), np.full_like(xs, hdg)], axis=1)
+    return jnp.asarray(r.copy(), jnp.float32)
+
+
+def test_correct_direction_not_offlane(small_cfg, town):
+    """Regression: opposing-direction lane points interleave at sub-meter
+    distance, so a nearest-point wrong-way check flagged ~30% of perfect
+    route tracking (autopilot Town05 Long artifacts). Correct-direction
+    driving must accumulate zero off-lane distance."""
+    st = reset_world(small_cfg, town, _lane_aligned_route(town), jax.random.key(0))
+    step = JIT_STEP
+    for _ in range(200):
+        st, _ = step(small_cfg, town, st, jnp.asarray([0.0, 0.7, 0.0]))
+    assert float(st.criteria.dist_driven) > 5.0
+    assert float(st.criteria.dist_offlane) < 0.2 * float(st.criteria.dist_driven)
+
+
+def test_wrong_way_is_offlane(small_cfg, town):
+    st = reset_world(
+        small_cfg, town, _lane_aligned_route(town, reverse=True), jax.random.key(0)
+    )
+    step = JIT_STEP
+    for _ in range(200):
+        st, _ = step(small_cfg, town, st, jnp.asarray([0.0, 0.7, 0.0]))
+    assert float(st.criteria.dist_driven) > 5.0
+    assert float(st.criteria.dist_offlane) > 0.6 * float(st.criteria.dist_driven)
+
+
 def test_traffic_light_cycles(town):
     states = []
     for t in [0.0, 5.0, 11.0, 14.0, 16.0, 20.0, 30.0]:

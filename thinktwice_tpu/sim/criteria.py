@@ -147,10 +147,20 @@ def update_criteria(
     on_road = _sample_raster(town.road, town, ego_pos[None])[0] > 0
     d_lane = jnp.linalg.norm(town.lane_pts - ego_pos[None], axis=-1)
     d_lane = jnp.where(town.lane_valid, d_lane, 1e9)
-    nearest_lane_yaw = town.lane_yaw[jnp.argmin(d_lane)]
-    wrong_way = (
-        jnp.abs(wrap_angle(nearest_lane_yaw - ego_yaw)) > 2.0 * jnp.pi / 3.0
-    ) & (ego_speed > 0.5)
+    # Opposing-direction lane points interleave with same-direction ones at
+    # sub-meter distance (shared-road chains), so the *nearest* point's yaw
+    # flags ~30% of perfect route tracking as wrong-way. The reference's
+    # OutsideRouteLanesTest asks "is there a lane here I could legally be
+    # driving?" (get_waypoint returns the containing lane) — equivalent here:
+    # best-aligned lane point within the lane-width radius; nearest as
+    # fallback when nothing is within radius.
+    ang_lane = jnp.abs(wrap_angle(town.lane_yaw - ego_yaw))
+    near = d_lane < 3.0
+    best_near_ang = jnp.min(jnp.where(near, ang_lane, jnp.inf))
+    eff_ang = jnp.where(
+        jnp.any(near), best_near_ang, ang_lane[jnp.argmin(d_lane)]
+    )
+    wrong_way = (eff_ang > 2.0 * jnp.pi / 3.0) & (ego_speed > 0.5)
     new_dist_driven = crit.dist_driven + step_dist
     new_dist_offlane = crit.dist_offlane + jnp.where(
         ~on_road | wrong_way, step_dist, 0.0
