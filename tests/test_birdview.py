@@ -108,3 +108,34 @@ def test_vmap_over_worlds(small_cfg, town):
         jax.vmap(lambda s: birdview_from_state(small_cfg.birdview, town, s))
     )(sts)
     assert bvs.shape == (2, small_cfg.birdview.n_channels, 192, 192)
+
+
+def test_segment_cull_equivalence():
+    """The distance cull must not change the rendered mask: a big random
+    segment table (> CULL_K rows) where < CULL_K rows are within reach must
+    rasterize identically culled and unculled."""
+    from thinktwice_tpu.sensors.birdview import (
+        _cull_segments,
+        _segments_mask,
+        CULL_K,
+    )
+
+    rng = np.random.default_rng(0)
+    n = CULL_K * 3
+    # ~600 segments near the origin, the rest far away
+    near = rng.uniform(-40, 40, size=(600, 2))
+    far = rng.uniform(500, 900, size=(n - 600, 2))
+    a = np.concatenate([near, far]).astype(np.float32)
+    b = a + rng.uniform(-8, 8, size=a.shape).astype(np.float32)
+    hw = rng.uniform(0.2, 2.0, size=n).astype(np.float32)
+    segs = jnp.asarray(np.concatenate([a, b, hw[:, None]], axis=1))
+    valid = jnp.asarray(rng.random(n) < 0.9)
+
+    pts = jnp.asarray(rng.uniform(-38, 38, size=(512, 2)).astype(np.float32))
+    full = _segments_mask(pts, segs[:, 0:2], segs[:, 2:4], valid, segs[:, 4])
+    csegs, cvalid = _cull_segments(segs, valid, jnp.zeros(2), 60.0)
+    culled = _segments_mask(
+        pts, csegs[:, 0:2], csegs[:, 2:4], cvalid, csegs[:, 4]
+    )
+    assert csegs.shape[0] == CULL_K
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(culled))

@@ -43,19 +43,26 @@ LANES = 128       # tile cols
 N_COL_TILES = 2   # 192 cols -> 2 x 128 (padded)
 N_ROW_TILES = 24  # 192 rows / 8
 TILES = N_ROW_TILES * N_COL_TILES
-K_CAP = 256       # primitives per tile cap — dense imported towns exceed
-                  # even this (~430 road+lane segs/tile on Town05); the
-                  # essential sparse layers are listed FIRST so overflow
-                  # only erodes the static road fill, and the default
-                  # renderer is the exact XLA path (sensors/birdview.py)
+K_CAP = 512       # primitives per tile cap. With the circle-vs-tile-RECT
+                  # cull test the densest pose on the 10 Town05 Long routes
+                  # reaches 286 road+lane prims per tile (measured; the old
+                  # circle-circle test over-counted to 437), leaving ~1.5x
+                  # headroom for actors/route/lights. The sparse layers are
+                  # still listed FIRST so an overflow on an even denser town
+                  # erodes only the static road fill.
 
 KIND_SEG, KIND_BOX = 0.0, 1.0
 
 
 def _build_primitives(cfg: BirdviewConfig, town: TownMap, hist, route_window,
-                      stop_pose=None, stop_active=None):
+                      stop_pose=None, stop_active=None, ego_pos=None):
     """-> (prims (NP, 8) f32, valid (NP,) bool). Row: [kind, p0..p4, bit, 0].
-    Segments: p = x1 y1 x2 y2 halfw; boxes: p = cx cy yaw ex ey."""
+    Segments: p = x1 y1 x2 y2 halfw; boxes: p = cx cy yaw ex ey.
+
+    With `ego_pos` given, the town's road/lane tables are first culled to the
+    CULL_K segments nearest the ego (sensors.birdview._cull_segments): only
+    segments within the BEV's ~36 m reach can render, so this shrinks the
+    (TILES, NP) tile-cull matrix ~6x at imported-town capacities."""
     rows = []
     valids = []
 
@@ -117,13 +124,28 @@ def _build_primitives(cfg: BirdviewConfig, town: TownMap, hist, route_window,
             add_boxes(stop_pose, stop_active, 12 + 3 * h + 2)
 
     # static lane / road geometry LAST (see overflow-priority note above)
-    lane_broken = town.lane_segs[:, 5] >= 0.5
-    add_segs(town.lane_segs[:, 0:2], town.lane_segs[:, 2:4],
-             town.lane_segs[:, 4:5], town.lane_seg_valid & ~lane_broken, 2)
-    add_segs(town.lane_segs[:, 0:2], town.lane_segs[:, 2:4],
-             town.lane_segs[:, 4:5], town.lane_seg_valid & lane_broken, 3)
-    add_segs(town.road_segs[:, 0:2], town.road_segs[:, 2:4],
-             town.road_segs[:, 4:5], town.road_seg_valid, 0)
+    lane_segs, lane_valid = town.lane_segs, town.lane_seg_valid
+    road_segs, road_valid = town.road_segs, town.road_seg_valid
+    if ego_pos is not None:
+        from thinktwice_tpu.sensors.birdview import (
+            _bev_reach_m,
+            _cull_segments,
+        )
+
+        reach = _bev_reach_m(cfg)
+        lane_segs, lane_valid = _cull_segments(
+            lane_segs, lane_valid, ego_pos, reach
+        )
+        road_segs, road_valid = _cull_segments(
+            road_segs, road_valid, ego_pos, reach
+        )
+    lane_broken = lane_segs[:, 5] >= 0.5
+    add_segs(lane_segs[:, 0:2], lane_segs[:, 2:4],
+             lane_segs[:, 4:5], lane_valid & ~lane_broken, 2)
+    add_segs(lane_segs[:, 0:2], lane_segs[:, 2:4],
+             lane_segs[:, 4:5], lane_valid & lane_broken, 3)
+    add_segs(road_segs[:, 0:2], road_segs[:, 2:4],
+             road_segs[:, 4:5], road_valid, 0)
 
     prims = jnp.concatenate(rows, axis=0)
     valid = jnp.concatenate(valids, axis=0)

@@ -101,6 +101,36 @@ SEG_CHUNK = 512   # segments per scan step — bounds the (N, P) intermediate.
                   # one unchunked mask is segs x pixels x worlds ~ 29 GB under
                   # vmap; chunked it is <= 512 x 36864 x 4 B = 75 MB per world.
 
+CULL_K = 1024     # segments kept per table after the distance cull. The BEV
+                  # reaches at most ~36 m from the ego; the densest point on
+                  # the 10 Town05 Long routes sees 614 road / 642 lane
+                  # segments within 42 m (measured), so 1024 has ~1.6x
+                  # headroom while cutting the raster work 8x vs the full
+                  # 8192-row tables.
+
+
+def _cull_segments(segs, valid, center, radius):
+    """Keep the CULL_K nearest segments to `center` (conservative bound:
+    midpoint distance minus half-length minus half-width), dropping any
+    beyond `radius`. Output shapes are static -> jit/vmap friendly."""
+    n = segs.shape[0]
+    if n <= CULL_K:
+        return segs, valid
+    a, b = segs[:, 0:2], segs[:, 2:4]
+    mid = 0.5 * (a + b)
+    half = 0.5 * jnp.linalg.norm(b - a, axis=-1) + segs[:, 4]
+    d = jnp.linalg.norm(mid - center[None], axis=-1) - half
+    d = jnp.where(valid, d, jnp.inf)
+    neg_d, idx = jax.lax.top_k(-d, CULL_K)
+    return segs[idx], valid[idx] & (-neg_d < radius)
+
+
+def _bev_reach_m(cfg: BirdviewConfig) -> float:
+    """Farthest world distance any BEV pixel sits from the ego (+ margin)."""
+    fwd = (cfg.width - cfg.pixels_ev_to_bottom) / cfg.pixels_per_meter
+    lat = 0.5 * cfg.width / cfg.pixels_per_meter
+    return float((fwd**2 + lat**2) ** 0.5 + 2.0)
+
 
 def _segments_mask(pts, seg_a, seg_b, valid, half_width):
     """Coverage of thick segments. pts (P, 2); seg_a/b (N, 2); half_width
@@ -171,23 +201,28 @@ def render_birdview(
     # BEV pixel costs ~240 ms per 64-world batch on TPU (gathers from a
     # megapixel table don't vectorize), while distance-to-segment coverage of
     # the same layers costs ~1 ms of pure VPU math.
-    road_valid = town.road_seg_valid
+    reach = _bev_reach_m(cfg)
+    road_segs, road_valid = _cull_segments(
+        town.road_segs, town.road_seg_valid, ego_pos, reach
+    )
     c_road = (
         _segments_mask(
-            pts, town.road_segs[:, 0:2], town.road_segs[:, 2:4],
-            road_valid, town.road_segs[:, 4],
+            pts, road_segs[:, 0:2], road_segs[:, 2:4],
+            road_valid, road_segs[:, 4],
         )
         .reshape(W, W)
         .astype(jnp.float32)
     )
-    lane_v = town.lane_seg_valid
+    lane_segs, lane_v = _cull_segments(
+        town.lane_segs, town.lane_seg_valid, ego_pos, reach
+    )
     lane_solid = _segments_mask(
-        pts, town.lane_segs[:, 0:2], town.lane_segs[:, 2:4],
-        lane_v & (town.lane_segs[:, 5] < 0.5), town.lane_segs[:, 4],
+        pts, lane_segs[:, 0:2], lane_segs[:, 2:4],
+        lane_v & (lane_segs[:, 5] < 0.5), lane_segs[:, 4],
     )
     lane_broken = _segments_mask(
-        pts, town.lane_segs[:, 0:2], town.lane_segs[:, 2:4],
-        lane_v & (town.lane_segs[:, 5] >= 0.5), town.lane_segs[:, 4],
+        pts, lane_segs[:, 0:2], lane_segs[:, 2:4],
+        lane_v & (lane_segs[:, 5] >= 0.5), lane_segs[:, 4],
     )
     # broken-white segments render at 120/255 (chauffeurnet.py:171-173)
     c_lane = jnp.where(

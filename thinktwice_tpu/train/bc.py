@@ -250,4 +250,7 @@ def make_bc(cfg: Config, bcfg: BCConfig, town: TownMap, routes):
         metrics["dones"] = traj["done"].sum()
         return params, opt_state, env_states, metrics
 
+    # expose the jitted stages for profiling/diagnostics
+    iterate_fn.rollout_fn = rollout_fn
+    iterate_fn.update_fn = update_fn
     return init_fn, iterate_fn
