@@ -423,6 +423,52 @@ class RasterPlanner:
             ok = win & self._road_fine[r, c]
             dense = np.where(ok[:, None], sm, dense)
 
+        # clearance restoration: the hairpin/pull-back passes above accept
+        # bare on-road positions, which can drag a turn back against the curb
+        # (measured on Town05 Long route 9: final clearance dipped to 0.28 m
+        # where the turn snap had placed 2.0 m — a perfectly-tracked ego box
+        # still penetrated 0.36 m there). Push low-clearance points up the
+        # distance-transform gradient, projected onto the local NORMAL so the
+        # path shape/tangent is preserved (no new kinks), accepting only
+        # on-road moves.
+        n = len(dense)
+        i0 = np.maximum(np.arange(n) - 4, 0)
+        i1 = np.minimum(np.arange(n) + 4, n - 1)
+        back = dense - dense[i0]
+        fwd_ = dense[i1] - dense
+        hdg_b = np.arctan2(back[:, 1], back[:, 0])
+        hdg_f = np.arctan2(fwd_[:, 1], fwd_[:, 0])
+        turn = np.abs(np.arctan2(np.sin(hdg_f - hdg_b), np.cos(hdg_f - hdg_b)))
+        target = np.where(turn > 0.15, 1.8, 1.3)
+        eh, ew = self._edge_fine_m.shape
+        for _ in range(8):
+            pix = (dense - self.offset[None]) * self.ppm
+            r = np.clip(pix[:, 1].astype(int), 1, eh - 2)
+            c = np.clip(pix[:, 0].astype(int), 1, ew - 2)
+            edge_now = self._edge_fine_m[r, c]
+            low = edge_now < target
+            if not low.any():
+                break
+            gx = (self._edge_fine_m[r, c + 1]
+                  - self._edge_fine_m[r, c - 1]) * 0.5 * self.ppm
+            gy = (self._edge_fine_m[r + 1, c]
+                  - self._edge_fine_m[r - 1, c]) * 0.5 * self.ppm
+            g = np.stack([gx, gy], axis=1)
+            g /= np.maximum(np.linalg.norm(g, axis=1, keepdims=True), 1e-6)
+            d_ = np.gradient(dense, axis=0)
+            t_ = d_ / np.maximum(
+                np.linalg.norm(d_, axis=1, keepdims=True), 1e-9
+            )
+            nvec = np.stack([-t_[:, 1], t_[:, 0]], axis=1)
+            push = np.sum(g * nvec, axis=1, keepdims=True) * nvec
+            step = np.clip(target - edge_now, 0.0, 0.25)[:, None]
+            cand = dense + np.where(low[:, None], push * step, 0.0)
+            pixc = (cand - self.offset[None]) * self.ppm
+            rc_ = np.clip(pixc[:, 1].astype(int), 0, eh - 1)
+            cc_ = np.clip(pixc[:, 0].astype(int), 0, ew - 1)
+            ok = self._road_fine[rc_, cc_]
+            dense = np.where((low & ok)[:, None], cand, dense)
+
         # headings from ±3-point central differences (tolerates the ~0.4 m
         # pull-back jitter near curb corners without heading spikes)
         n = len(dense)

@@ -76,13 +76,30 @@ def update_criteria(
     ) & wlk_active
     hit_veh = jnp.any(hit_veh_each)
     hit_wlk = jnp.any(hit_wlk_each)
-    # static layout collision: any ego corner over the curb. The H5 rasters
-    # overlap at junction aprons/crosswalks (~1.2% of Town05's road pixels are
-    # also marked sidewalk), so the curb is sidewalk AND NOT road — bare
-    # sidewalk sampling false-fired on legitimate on-road driving there.
-    corners = box_corners(ego_pos, ego_yaw, ego_ext)          # (4, 2)
-    on_sw = _sample_raster(town.sidewalk, town, corners) > 0
-    on_rd = _sample_raster(town.road, town, corners) > 0
+    # static layout collision: substantial box intrusion over the curb. The H5
+    # rasters overlap at junction aprons/crosswalks (~1.2% of Town05's road
+    # pixels are also marked sidewalk), so the curb is sidewalk AND NOT road —
+    # bare sidewalk sampling false-fired on legitimate on-road driving there.
+    # CARLA's CollisionTest (atomic_criteria.py:285-438) fires on physics
+    # collision EVENTS with static actors (poles, fences, walls); curbs are
+    # drivable 10 cm ramps that emit none — a corner grazing the curb line is
+    # charged as off-road percentage (OutsideRouteLanesTest), not a collision.
+    # Model that with a penetration threshold: test a box shrunk by CURB_PEN
+    # (corners + long-edge midpoints), so only a wheel's-width intrusion
+    # counts. Measured on Town05 Long: 5/6 of the old per-corner-pixel hits
+    # had <= 0.10 m penetration; real curb mounting was 0.73 m.
+    CURB_PEN = 0.3
+    inner_ext = jnp.maximum(ego_ext[:2] - CURB_PEN, 0.1)
+    corners = box_corners(ego_pos, ego_yaw, inner_ext)        # (4, 2)
+    fwd = jnp.stack([jnp.cos(ego_yaw), jnp.sin(ego_yaw)])
+    right = jnp.stack([-fwd[1], fwd[0]])
+    mids = ego_pos[None] + jnp.stack([
+        right * inner_ext[1], -right * inner_ext[1],
+        fwd * inner_ext[0], -fwd * inner_ext[0],
+    ])                                                        # (4, 2)
+    probes = jnp.concatenate([corners, mids], axis=0)         # (8, 2)
+    on_sw = _sample_raster(town.sidewalk, town, probes) > 0
+    on_rd = _sample_raster(town.road, town, probes) > 0
     hit_static = jnp.any(on_sw & ~on_rd)
 
     overlapping = jnp.stack([hit_veh, hit_wlk, hit_static])
