@@ -42,8 +42,13 @@ def main():
         dense = np.concatenate([dense, np.repeat(dense[-1:], R - len(dense), 0)])
     dense_j = jnp.asarray(dense[:R], jnp.float32)
     scen = build_route_scenarios(cfg, dense, derive_map_triggers(town, dense))
-    state = reset_world(cfg, town, dense_j, jax.random.key(0),
-                        n_vehicles=n_veh, scenario=scen)
+    # replicate eval_town05's world init exactly: per-route key from one
+    # split of the run seed, plus the route XML's weather
+    rng, sub = jax.random.split(jax.random.key(0))
+    keys = jax.random.split(sub, 10)
+    state = reset_world(cfg, town, dense_j, keys[route_i],
+                        n_vehicles=n_veh, scenario=scen,
+                        weather=jnp.asarray(spec.weather, jnp.float32))
 
     @jax.jit
     def run(state):

@@ -104,12 +104,23 @@ def update_criteria(
 
     overlapping = jnp.stack([hit_veh, hit_wlk, hit_static])
     rising = overlapping & ~crit.collision_latch              # rising edge
-    # refractory: CollisionTest dedups repeated hits on the same object
-    # (atomic_criteria.py registered_collisions + distance gate). A curb graze
-    # toggling contact every few ticks is one infraction episode, not dozens.
-    new_event = rising & (crit.collision_cd <= 0.0)
+    # refractory: CollisionTest ignores a repeat with the same actor id until
+    # MAX_ID_TIME (5 s) passes since the counted event (atomic_criteria.py:
+    # 301,347-348,375-376); approximated per category.
+    candidate = rising & (crit.collision_cd <= 0.0)
+    # location gate: a new hit within MIN_AREA_OF_COLLISION (3 m) of the last
+    # registered collision location is ignored; the location is forgotten
+    # once the ego moves MAX_AREA_OF_COLLISION (5 m) away (:299-300,332-345,
+    # 394-399). An NPC grinding across a stationary ego is ONE event.
+    d_last = jnp.linalg.norm(ego_pos - crit.coll_pos)
+    loc_valid = crit.coll_pos_valid & (d_last <= 5.0)
+    loc_blocked = loc_valid & (d_last <= 3.0)
+    new_event = candidate & ~loc_blocked
+    counted = jnp.any(new_event)
+    new_coll_pos = jnp.where(counted, ego_pos, crit.coll_pos)
+    new_coll_valid = counted | loc_valid
     new_cd = jnp.where(
-        new_event, 4.0, jnp.maximum(crit.collision_cd - sim.dt, 0.0)
+        new_event, 5.0, jnp.maximum(crit.collision_cd - sim.dt, 0.0)
     )
     ev_veh, ev_wlk, ev_static = new_event[0], new_event[1], new_event[2]
 
@@ -201,6 +212,8 @@ def update_criteria(
         n_stop_sign=crit.n_stop_sign + ev_stop.astype(jnp.int32),
         collision_latch=overlapping,
         collision_cd=new_cd,
+        coll_pos=new_coll_pos,
+        coll_pos_valid=new_coll_valid,
         tl_latch=new_tl_latch,
         stop_in_zone=new_in_zone,
         stop_has_stopped=new_has_stopped,

@@ -77,6 +77,15 @@ class CriteriaState:
                                      # registered_collisions + distance gate);
                                      # a curb graze toggling the latch every few
                                      # ticks must not score dozens of events
+    coll_pos: jax.Array              # (2,) f32 — ego position at the last
+                                     # counted collision; CollisionTest ignores
+                                     # new hits within MIN_AREA_OF_COLLISION
+                                     # (3 m) of a registered location and only
+                                     # forgets it once the ego moves
+                                     # MAX_AREA_OF_COLLISION (5 m) away
+                                     # (atomic_criteria.py:299-345,394-399) —
+                                     # a stationary grind is ONE event
+    coll_pos_valid: jax.Array        # () bool
     tl_latch: jax.Array              # (NL,) bool — light already scored this approach
     stop_in_zone: jax.Array          # (NS,) bool
     stop_has_stopped: jax.Array      # (NS,) bool
@@ -182,6 +191,8 @@ def zero_criteria(cfg: Config, n_lights: int | None = None, n_stops: int | None 
         n_stop_sign=z32,
         collision_latch=jnp.zeros((3,), bool),
         collision_cd=jnp.zeros((3,), jnp.float32),
+        coll_pos=jnp.zeros((2,), jnp.float32),
+        coll_pos_valid=zb,
         tl_latch=jnp.zeros((n_lights or cfg.sim.max_lights,), bool),
         stop_in_zone=jnp.zeros((n_stops or cfg.sim.max_stop_signs,), bool),
         stop_has_stopped=jnp.zeros((n_stops or cfg.sim.max_stop_signs,), bool),
