@@ -22,6 +22,22 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 
+def _configure_jax():
+    """The installed TPU plugin ignores the JAX_PLATFORMS/cache env vars, so
+    honor them through the config API before any backend initialization
+    (tests force CPU this way; see tests/conftest.py)."""
+    import jax
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def _build_world(args):
     from thinktwice_tpu.config import Config, SimConfig
     from thinktwice_tpu.maps.procedural import make_grid_town
@@ -172,6 +188,7 @@ def cmd_benchmark(args):
 
 
 def main():
+    _configure_jax()
     p = argparse.ArgumentParser(prog="thinktwice_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
