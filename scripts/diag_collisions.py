@@ -11,9 +11,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from thinktwice_tpu.jaxenv import setup as _jax_setup
+
+_jax_setup()
 
 from thinktwice_tpu.agents.autopilot import autopilot_control
 from thinktwice_tpu.config import Config, SimConfig
