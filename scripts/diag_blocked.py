@@ -80,7 +80,7 @@ def main():
     @jax.jit
     def run_chunk(state):
         def body(st, _):
-            ctrl = autopilot_control(cfg, town, st)
+            ctrl, dbg = autopilot_control(cfg, town, st, debug=True)
             st2, ev = step_world(cfg, town, st, ctrl)
             all_pos = jnp.concatenate([st2.traffic.pos, st2.walkers.pos], 0)
             all_yaw = jnp.concatenate([st2.traffic.yaw, st2.walkers.yaw], 0)
@@ -104,6 +104,7 @@ def main():
                 n_veh=st2.criteria.n_collision_vehicle,
                 done=st2.criteria.done,
                 ctrl=ctrl,
+                dbg=dbg,
             )
             return st2, tel
 
@@ -112,13 +113,24 @@ def main():
     for chunk in range(args.steps // 200):
         state, tel = run_chunk(state)
         t = jax.device_get(jax.tree.map(lambda x: x[-1], tel))
+        # attribute stalled ticks in this chunk to the binding v_des term
+        d = jax.device_get(tel["dbg"])
+        stall = jax.device_get(tel["speed"]) < 0.3
+        n = max(int(stall.sum()), 1)
+        attrib = {
+            "red": int((stall & (d["v_red"] < 0.3)).sum()),
+            "gap": int((stall & (d["v_gap"] < 0.3)).sum()),
+            "hazard": int((stall & d["hazard"]).sum()),
+            "sign": int((stall & (d["v_sign"] < 0.3)).sum()),
+        }
         print(f"t={(chunk + 1) * 200 * 0.05:6.0f}s comp={t['comp']:.3f} "
               f"v={t['speed']:4.1f} gap={min(float(t['gap']), 999):5.1f} "
               f"npc_v={t['npc_speed']:4.2f} npc_stop={t['npc_stopped']:3d} "
               f"near={t['nearest_npc']:5.1f} blocked={t['blocked_s']:4.1f} "
               f"lay={t['n_layout']} veh={t['n_veh']} "
               f"pos=({t['pos'][0]:.0f},{t['pos'][1]:.0f}) "
-              f"ctrl={np.round(np.asarray(t['ctrl']), 2)}",
+              f"ctrl={np.round(np.asarray(t['ctrl']), 2)} "
+              f"stall={int(stall.sum())}/200 of which {attrib}",
               flush=True)
         if bool(t["done"]):
             print("DONE:", {k: bool(jax.device_get(getattr(state.criteria, k)))

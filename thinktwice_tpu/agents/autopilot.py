@@ -37,8 +37,12 @@ def _stop_profile(dist, margin):
     return jnp.sqrt(2.0 * COMFORT_DECEL * d)
 
 
-def autopilot_control(cfg: Config, town: TownMap, state: WorldState):
-    """-> (3,) control (steer, throttle, brake)."""
+def autopilot_control(cfg: Config, town: TownMap, state: WorldState,
+                      debug: bool = False):
+    """-> (3,) control (steer, throttle, brake).
+
+    With debug=True returns (control, dict of the v_des components) so stall
+    telemetry can attribute every stop to gap/red/sign/curve/hazard."""
     ego = state.ego
     route = state.route
     cum = state.route_cumlen
@@ -118,7 +122,8 @@ def autopilot_control(cfg: Config, town: TownMap, state: WorldState):
     # expert's ego+actor forecast rule (roach_ap_agent hazard forecast).
     from thinktwice_tpu.agents.expert import hazard_brake
 
-    v_des = jnp.where(hazard_brake(cfg, state), 0.0, v_des)
+    hazard = hazard_brake(cfg, state)
+    v_des = jnp.where(hazard, 0.0, v_des)
 
     # ---- anti-deadlock creep ---------------------------------------------
     # blocked a long time, nothing physically within 3 m, no red line closer
@@ -134,4 +139,10 @@ def autopilot_control(cfg: Config, town: TownMap, state: WorldState):
     brake = (ego.speed > v_des + 0.7) | ((v_des < 0.2) & (ego.speed > 0.05))
     brake = brake | (gap < 2.5)
     throttle = jnp.where(brake, 0.0, throttle)
-    return jnp.stack([steer, throttle, brake.astype(jnp.float32)])
+    control = jnp.stack([steer, throttle, brake.astype(jnp.float32)])
+    if debug:
+        return control, dict(
+            v_curve=v_curve, v_gap=v_gap, v_red=v_red, v_sign=v_sign,
+            hazard=hazard, creep=creep, gap=gap, d_red=d_red,
+        )
+    return control

@@ -227,7 +227,41 @@ def traffic_policy(
         all_active, self_mask, priority,
         is_static_priority=(ot_idx == V)[0],       # ego column, any row
     )
-    gap = jnp.where(must_yield, jnp.minimum(gap, 2.5), gap)
+    # lane-following forecast vs the ego's BOX: a turning NPC's straight-line
+    # forecast misses a stopped ego that its lane curls into (observed
+    # junction corner-clips at v<3 m/s: dyaw ~120-140°, contact on the ego's
+    # front corners). Chase the lane chain ~16 m ahead and test each lane
+    # point against three discs along the ego's long axis.
+    path_idx = veh_wp
+    path_pts, path_yaws = [], []
+    for _ in range(8):
+        path_idx = town.lane_next[path_idx]
+        path_pts.append(town.lane_pts[path_idx])
+        path_yaws.append(town.lane_yaw[path_idx])
+    path = jnp.stack(path_pts, axis=1)                           # (V, 8, 2)
+    path_yaw = jnp.stack(path_yaws, axis=1)                      # (V, 8)
+    ego_fwd = jnp.stack([jnp.cos(ego_yaw), jnp.sin(ego_yaw)])
+    ego_pts = ego_pos[None, :] + jnp.asarray([-1.6, 0.0, 1.6])[:, None] * ego_fwd[None, :]
+    d_lane = jnp.linalg.norm(
+        path[:, :, None, :] - ego_pts[None, None, :, :], axis=-1
+    )                                                            # (V, 8, 3)
+    # horizon limited by ~3 s of travel (2 m per lane hop); always probe the
+    # first 2 hops so a stopped-then-resuming NPC does not lurch into contact
+    reach_hops = jnp.maximum(veh_speed * 3.0 / 2.0, 2.0)
+    hop_i = jnp.arange(1, 9, dtype=jnp.float32)
+    within = hop_i[None, :] <= reach_hops[:, None]
+    # same-direction lane points are the FOLLOWER case — _front_gap already
+    # paces those smoothly; hard-stopping them here would freeze every queue
+    # behind the ego. Only cross/oncoming lane geometry counts as a conflict.
+    crossing_pt = jnp.abs(wrap_angle(path_yaw - ego_yaw)) > jnp.pi / 4
+    lane_conflict = jnp.any(
+        (d_lane < 2.1) & within[:, :, None] & crossing_pt[:, :, None],
+        axis=(1, 2),
+    )
+    # hard stop, not creep: clamping the gap to 2.5 leaves v_des ≈ 0.7 m/s,
+    # which walks the NPC 3-4 m into the conflict over a 6 s crossing — the
+    # observed slow-speed collision farm. 1.8 zeroes v_des outright.
+    gap = jnp.where(must_yield | lane_conflict, jnp.minimum(gap, 1.8), gap)
 
     # per-vehicle cruise diversity ≈ TrafficManager's per-vehicle speed
     # percentage differences (behavior profiles): deterministic golden-ratio

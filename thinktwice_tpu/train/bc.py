@@ -184,7 +184,19 @@ def make_bc(cfg: Config, bcfg: BCConfig, town: TownMap, routes):
             + ACTION_JITTER * jax.random.normal(rng, batch["action"].shape),
             -0.999, 0.999,
         )
-        nll = jnp.mean(-beta_log_prob(jit_a, out["alpha"], out["beta"]))
+        # Inertia fix: a teacher that waits at lights/queues produces ~40%
+        # stopped-and-braking frames; uniform BC then learns "speed 0 ->
+        # brake" and the clone parks itself at spawn (observed: closed-loop
+        # completion 3% while action MAE was 0.06). Downweight frames where
+        # the ego is already stopped AND the label is brake — the moving
+        # data (including brake onsets, which stay at full weight) dominates
+        # the gradient, but stop-at-red is still supervised.
+        stopped = batch["sv"][:, 4] < 0.3
+        brake_label = batch["action"][:, 0] < -0.3
+        w = jnp.where(stopped & brake_label, 0.2, 1.0)
+        w = w / jnp.mean(w)
+        per = -beta_log_prob(jit_a, out["alpha"], out["beta"])
+        nll = jnp.mean(w[:, None] * per)
         v_err = jnp.mean((out["value"][:, 0] - batch["ret"]) ** 2)
         conc = jnp.mean(out["alpha"] + out["beta"])
         loss = nll + VALUE_COEF * v_err + CONC_PENALTY * conc
