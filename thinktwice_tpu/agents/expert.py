@@ -61,39 +61,45 @@ def hazard_brake(cfg: Config, state: WorldState) -> jax.Array:
     """Emergency-brake rule with ego+actor motion forecast
     (roach_ap_agent _is_vehicle_hazard:536-569, _is_walker_hazard:519-534):
     both the ego and every actor are extrapolated along their current
-    velocity over a ~2 s horizon; brake when any forecast separation drops
-    below the safety margin ahead of the ego. This catches crossing walkers
-    the round-1 static corridor test braked too late for. Returns () bool."""
+    velocity over a ~2 s horizon, and the forecast BOXES are tested for
+    overlap (separating-axis, geometry.obb_overlap). Box-exact forecasting
+    replaces round-2's point-corridor margins, which both missed corner
+    clips (a crossing car reaching the ego's front corner keeps center
+    separation ~4-5 m) and phantom-braked behind queues. Only MOVING
+    vehicles count — a stopped leader is the gap law's job, and zero
+    velocity adds no swept path. Returns () bool."""
+    from thinktwice_tpu.geometry import obb_overlap
+
     ego = state.ego
     fwd = jnp.stack([jnp.cos(ego.yaw), jnp.sin(ego.yaw)])
-    ego_v = fwd * jnp.maximum(ego.speed, 2.0)        # floor: creeping forecast
+    spd = jnp.maximum(ego.speed, 2.0)                # floor: creeping forecast
+    ego_v = fwd * spd
 
     ts = jnp.asarray([0.0, 0.5, 1.0, 1.5, 2.0])
     ego_t = ego.pos[None, :] + ts[:, None] * ego_v[None, :]   # (T, 2)
+    # inflate: 0.3 m safety cushion + half the inter-sample sweep so the
+    # discrete timesteps cover the continuous path
+    sweep_pad = 0.25 * spd
+    ego_ext = ego.extent + jnp.asarray([0.3 + sweep_pad, 0.3])
 
-    right = jnp.stack([-jnp.sin(ego.yaw), jnp.cos(ego.yaw)])
-
-    def forecast_hit(pos, yaw, speed, active, margin_along, margin_lat):
+    def forecast_hit(pos, yaw, speed, ext, active):
         vel = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)], axis=-1) * speed[:, None]
         act_t = pos[None, :, :] + ts[:, None, None] * vel[None, :, :]  # (T,A,2)
-        rel = act_t - ego_t[:, None, :]
-        # anisotropic margin in the ego's frame so adjacent-lane and
-        # oncoming traffic (lateral ~3.5 m) does not phantom-brake
-        along = rel @ fwd
-        lat = jnp.abs(rel @ right)
-        hit = (along > -1.0) & (along < margin_along) & (lat < margin_lat)
-        return jnp.any(hit & active[None, :])
+        pad = jnp.stack([0.2 + 0.25 * speed, jnp.full_like(speed, 0.2)], -1)
+        ov = obb_overlap(
+            ego_t[:, None, :], ego.yaw, ego_ext,
+            act_t, yaw[None, :], ext[None, :, :] + pad[None, :, :],
+        )
+        return jnp.any(ov & active[None, :])
 
-    # speed-dependent along margin: at cruise the ego needs ~v^2/2a + reaction
-    # distance; fixed 6 m margins braked too late for scripted scenario
-    # vehicles crossing at speed (observed front-corner clips at junctions)
     veh = forecast_hit(
         state.traffic.pos, state.traffic.yaw, state.traffic.speed,
-        state.traffic.active, 4.0 + 1.0 * ego.speed, 2.2,
+        state.traffic.extent,
+        state.traffic.active & (state.traffic.speed > 0.3),
     )
     wlk = forecast_hit(
         state.walkers.pos, state.walkers.yaw, state.walkers.speed,
-        state.walkers.active, 3.5 + 0.8 * ego.speed, 2.2,
+        state.walkers.extent, state.walkers.active,
     )
     return veh | wlk
 

@@ -45,9 +45,10 @@ class SimConfig:
     # Traffic (NPC) policy constants — replaces CARLA TrafficManager defaults
     # (autopilot at ~70% of 30 km/h speed limit, keep-gap behavior).
     npc_cruise_speed: float = 6.0   # m/s
-    npc_accel: float = 2.0          # m/s^2
+    npc_accel: float = 3.0          # m/s^2 (queue drain rate; 2.0 left the
+                                    # fleet ~40% stopped town-wide on Town05)
     npc_decel: float = 6.0          # m/s^2
-    npc_gap: float = 6.0            # m desired standstill front gap
+    npc_gap: float = 4.5            # m desired standstill front gap
     npc_time_headway: float = 1.2   # s
     npc_max_yaw_rate: float = 1.2   # rad/s
     npc_lookahead: float = 6.0      # m pure-pursuit lookahead

@@ -240,11 +240,17 @@ def traffic_policy(
         path_yaws.append(town.lane_yaw[path_idx])
     path = jnp.stack(path_pts, axis=1)                           # (V, 8, 2)
     path_yaw = jnp.stack(path_yaws, axis=1)                      # (V, 8)
-    ego_fwd = jnp.stack([jnp.cos(ego_yaw), jnp.sin(ego_yaw)])
-    ego_pts = ego_pos[None, :] + jnp.asarray([-1.6, 0.0, 1.6])[:, None] * ego_fwd[None, :]
-    d_lane = jnp.linalg.norm(
-        path[:, :, None, :] - ego_pts[None, None, :, :], axis=-1
-    )                                                            # (V, 8, 3)
+    # lane path points in the EGO frame, tested against the ego box inflated
+    # by the NPC's half-width: box-exact side contact (the round-2 3-disc
+    # test kept 2.1 m from the ego's axis and still let crossing NPCs clip
+    # the front corners — contact happens at center separation ~4-5 m)
+    rel_path = path - ego_pos[None, None, :]
+    ce, se = jnp.cos(-ego_yaw), jnp.sin(-ego_yaw)
+    px = rel_path[..., 0] * ce - rel_path[..., 1] * se           # (V, 8)
+    py = rel_path[..., 0] * se + rel_path[..., 1] * ce
+    infl_x = ego_ext[0] + veh_ext[:, 1:2] + 0.5                  # (V, 1)
+    infl_y = ego_ext[1] + veh_ext[:, 1:2] + 0.5
+    in_box = (jnp.abs(px) < infl_x) & (jnp.abs(py) < infl_y)     # (V, 8)
     # horizon limited by ~3 s of travel (2 m per lane hop); always probe the
     # first 2 hops so a stopped-then-resuming NPC does not lurch into contact
     reach_hops = jnp.maximum(veh_speed * 3.0 / 2.0, 2.0)
@@ -254,10 +260,7 @@ def traffic_policy(
     # paces those smoothly; hard-stopping them here would freeze every queue
     # behind the ego. Only cross/oncoming lane geometry counts as a conflict.
     crossing_pt = jnp.abs(wrap_angle(path_yaw - ego_yaw)) > jnp.pi / 4
-    lane_conflict = jnp.any(
-        (d_lane < 2.1) & within[:, :, None] & crossing_pt[:, :, None],
-        axis=(1, 2),
-    )
+    lane_conflict = jnp.any(in_box & within & crossing_pt, axis=1)
     # hard stop, not creep: clamping the gap to 2.5 leaves v_des ≈ 0.7 m/s,
     # which walks the NPC 3-4 m into the conflict over a 6 s crossing — the
     # observed slow-speed collision farm. 1.8 zeroes v_des outright.
