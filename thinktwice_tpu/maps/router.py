@@ -118,10 +118,12 @@ class RasterPlanner:
     A* over the OpenDRIVE lane graph, so the dense route follows actual roads.
     Imported towns carry no lane topology — only the pre-baked H5 rasters —
     so here the A* runs over a coarsened drivable-cell grid (2 m cells), with
-    an edge-distance penalty that keeps the path near the road center, and
-    the keypoints' own median signed lateral offset re-applied afterwards so
-    the path sits on the driving side rather than the centerline (the side
-    convention is learned from the keypoints, not assumed).
+    an edge-distance penalty that keeps the path near the road center, then a
+    lane-positioning pass that marches to the road edges along the local
+    normal and places each point at the rightmost-lane center (right-hand
+    traffic, lane half-width 1.75 m) so opposing-direction routes — and the
+    NPC lane chains compile_town derives from them — occupy physically
+    separate lanes instead of sharing the road-center line.
 
     Without this, cubic-Hermite densification between sparse keypoints cuts
     off-road: measured on Town05, 0.2-8% of eval-route points (runs up to
@@ -256,6 +258,62 @@ class RasterPlanner:
         c = np.clip(p[:, 0].astype(int), 0, self._road_fine.shape[1] - 1)
         return self._road_fine[r, c] & (self._edge_fine_m[r, c] >= min_edge_m)
 
+    def _lane_position(self, poly: np.ndarray) -> np.ndarray:
+        """Shift each path point onto the rightmost-lane center.
+
+        The round-2 'keypoint-learned median offset' was a no-op: plan()
+        anchors every keypoint onto the path (leg endpoints), so the measured
+        keypoint offsets were identically zero and every route ran down the
+        A* road-center line — opposing-direction routes, and the NPC lane
+        chains compile_town derives from them, coincided (measured on Town05:
+        6,405 antiparallel lane-point pairs within 1.2 m → head-on NPC
+        collisions and chronic congestion).
+
+        Here: march along the local road normal to both edges; on
+        corridor-like road (4.2 m < width < 20 m, both edges found) place the
+        point LANE_HALF = 1.75 m from the vehicle-right edge. Vehicle-right
+        is (-hd_y, +hd_x) in the H5 world frame — right-hand traffic,
+        verified against the Town05 eval-route keypoints' lane positions.
+        Single-lane roads (width < 4.6 m) keep the center. Junction aprons
+        (wide/unbounded marches) get weight 0, and the shift is arc-length
+        averaged with those zeros so lane entries blend in smoothly.
+        """
+        d = np.gradient(poly, axis=0)
+        hd = d / np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-9)
+        right = np.stack([-hd[:, 1], hd[:, 0]], axis=1)
+        max_m, step = 16.0, 0.25
+        ks = np.arange(step, max_m + step, step)
+
+        def _edge_dist(dirs: np.ndarray) -> np.ndarray:
+            q = poly[:, None, :] + ks[None, :, None] * dirs[:, None, :]
+            pix = (q - self.offset[None, None]) * self.ppm
+            r = np.clip(pix[..., 1].astype(int), 0,
+                        self._road_fine.shape[0] - 1)
+            c = np.clip(pix[..., 0].astype(int), 0,
+                        self._road_fine.shape[1] - 1)
+            on = self._road_fine[r, c]
+            first_off = np.argmin(on, axis=1)  # 0 when all on-road
+            return np.where(on.all(axis=1), max_m + step, ks[first_off])
+
+        re_ = _edge_dist(right)
+        le_ = _edge_dist(-right)
+        w = re_ + le_
+        lane_half = 1.75
+        corridor = (w > 4.2) & (w < 20.0) & (re_ <= max_m) & (le_ <= max_m)
+        target = np.where(w < 2 * lane_half + 1.1, w / 2.0, lane_half)
+        shift = np.where(corridor, np.clip(re_ - target, -8.0, 8.0), 0.0)
+        wgt = corridor.astype(np.float64)
+        win = min(7, len(poly)) | 1  # odd
+        ker = np.ones(win) / win
+        num = np.convolve(shift * wgt, ker, mode="same")
+        den = np.convolve(wgt, ker, mode="same")
+        # dividing by max(den, 1) counts junction points as zero shift →
+        # the lane offset tapers to nothing entering a junction
+        shift_sm = num / np.maximum(den, 1.0)
+        shifted = poly + shift_sm[:, None] * right
+        ok = self._on_road(shifted, min_edge_m=1.0)
+        return np.where(ok[:, None], shifted, poly)
+
     def plan(
         self,
         keypoints_xy: np.ndarray,
@@ -267,8 +325,8 @@ class RasterPlanner:
         (x, y, yaw_rad), same contract as maps.town.interpolate_route.
 
         keypoints_yaw_deg is accepted for interface parity with
-        interpolate_route but unused: the driving side is learned from the
-        keypoints' lateral offsets, and headings come from the planned path."""
+        interpolate_route but unused: the lane-positioning pass places the
+        path on the driving side, and headings come from the planned path."""
         kp = np.asarray(keypoints_xy, np.float64)
         legs: list[np.ndarray] = []
         for i in range(len(kp) - 1):
@@ -297,21 +355,7 @@ class RasterPlanner:
             ok = self._on_road(sm)
             poly = np.where(ok[:, None], sm, poly)
 
-        # driving-side offset: keypoints sit on the correct lane; re-apply
-        # their median signed lateral offset from the centerline path
-        d = np.gradient(poly, axis=0)
-        hd = d / np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-9)
-        normal = np.stack([-hd[:, 1], hd[:, 0]], axis=1)
-        offs = []
-        for p in kp:
-            k = int(np.argmin(np.linalg.norm(poly - p[None], axis=1)))
-            offs.append(float(np.dot(p - poly[k], normal[k])))
-        m = float(np.clip(np.median(offs), -2.5, 2.5))
-        for frac in (1.0, 0.75, 0.5, 0.25, 0.0):
-            shifted = poly + frac * m * normal
-            if self._on_road(shifted, min_edge_m=0.5).mean() > 0.97:
-                poly = shifted
-                break
+        poly = self._lane_position(poly)
 
         from thinktwice_tpu.maps.town import densify_polyline, pad_rows
 

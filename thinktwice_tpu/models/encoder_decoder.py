@@ -244,19 +244,30 @@ def decoder_loss(cfg: ModelConfig, outs: dict, batch: dict) -> dict[str, jax.Arr
         + jnp.mean((outs["pred_value_ctrl"][:, 0] - v) ** 2)
     )
     # distil_weight gates the Roach-feature terms (mirror augmentation sets 0
-    # because conv features are not mirror-equivariant; train/augment.py)
-    dw = batch.get("distil_weight", 1.0)
+    # because conv features are not mirror-equivariant; train/augment.py).
+    # Scalar OR per-example (B,): per-example mirroring keeps the distillation
+    # signal from the unmirrored half of every batch instead of losing whole
+    # steps (the weighted mean renormalizes by the surviving examples).
+    dw = jnp.asarray(batch.get("distil_weight", 1.0))
+
+    def wmean(x):
+        """dw-weighted mean: x reduced per example first."""
+        per_ex = jnp.mean(x, axis=tuple(range(1, x.ndim)))
+        if dw.ndim == 0:
+            return dw * jnp.mean(per_ex)
+        return jnp.sum(dw * per_ex) / jnp.maximum(jnp.sum(dw), 1e-6)
+
     if "roach_features" in batch:
         rf = batch["roach_features"]
-        losses["features_loss"] = dw * FEATURES_WEIGHT * (
-            jnp.mean((outs["pred_features_traj"] - rf) ** 2)
-            + jnp.mean((outs["pred_features_ctrl"] - rf) ** 2)
+        losses["features_loss"] = FEATURES_WEIGHT * (
+            wmean((outs["pred_features_traj"] - rf) ** 2)
+            + wmean((outs["pred_features_ctrl"] - rf) ** 2)
         )
     if "roach_cnn" in batch:
         distil = 0.0
         for w, pred, gt in zip(DISTIL_WEIGHTS, outs["mid_feature"], batch["roach_cnn"]):
-            distil = distil + w * jnp.mean((pred - gt) ** 2)
-        losses["distil_loss"] = dw * distil
+            distil = distil + w * wmean((pred - gt) ** 2)
+        losses["distil_loss"] = distil
 
         # refine-layer distillation (thinktwice_decoder.py:593-598): every
         # refine layer's updated BEV is pulled to the Roach 21x21 grid and the
@@ -265,13 +276,13 @@ def decoder_loss(cfg: ModelConfig, outs: dict, batch: dict) -> dict[str, jax.Arr
         cnn21 = batch["roach_cnn"][0]                          # (B, 21, 21, 32)
         if "refine_BEV_feature" in outs:
             losses["refine_BEV_feature_loss"] = (
-                dw * DISTIL_WEIGHTS[0] * jnp.mean(
+                DISTIL_WEIGHTS[0] * wmean(
                     clamped_sl1(outs["refine_BEV_feature"] - cnn21[:, None])
                 )
             )
         if "roach_features" in batch and "refine_flat_feature" in outs:
             losses["refine_flattened_feature_loss"] = (
-                dw * FEATURES_WEIGHT * 0.1 * jnp.mean(
+                FEATURES_WEIGHT * 0.1 * wmean(
                     clamped_sl1(
                         outs["refine_flat_feature"]
                         - batch["roach_features"][:, None]
@@ -289,7 +300,7 @@ def decoder_loss(cfg: ModelConfig, outs: dict, batch: dict) -> dict[str, jax.Arr
             # future-BEV rollouts vs the FUTURE frames' Roach 21x21 grids:
             # pred (B, R, T, 21, 21, 32), gt (B, T, 21, 21, 32)
             losses["teacher_future_BEV_feature_loss"] = (
-                dw * DISTIL_WEIGHTS[0] * jnp.mean(
+                DISTIL_WEIGHTS[0] * wmean(
                     clamped_sl1(
                         outs["teacher_future_BEV_feature"]
                         - batch["future_roach_cnn21"][:, None]
@@ -298,7 +309,7 @@ def decoder_loss(cfg: ModelConfig, outs: dict, batch: dict) -> dict[str, jax.Arr
             )
         if "roach_cnn" in batch and "teacher_refine_BEV_feature" in outs:
             losses["teacher_refine_BEV_feature_loss"] = (
-                dw * DISTIL_WEIGHTS[0] * jnp.mean(
+                DISTIL_WEIGHTS[0] * wmean(
                     clamped_sl1(
                         outs["teacher_refine_BEV_feature"]
                         - batch["roach_cnn"][0][:, None]
@@ -307,7 +318,7 @@ def decoder_loss(cfg: ModelConfig, outs: dict, batch: dict) -> dict[str, jax.Arr
             )
         if "roach_features" in batch and "teacher_refine_flat_feature" in outs:
             losses["teacher_refine_flattened_feature_loss"] = (
-                dw * FEATURES_WEIGHT * jnp.mean(
+                FEATURES_WEIGHT * wmean(
                     clamped_sl1(
                         outs["teacher_refine_flat_feature"]
                         - batch["roach_features"][:, None]

@@ -241,16 +241,40 @@ def mirror_batch(batch: dict) -> dict:
     return out
 
 
-def maybe_mirror(rng, batch: dict) -> dict:
-    """Apply the mirror to the whole batch with p=0.5 (per-batch, keeping
-    shapes static)."""
+def maybe_mirror(rng, batch: dict, per_example: bool = True) -> dict:
+    """Mirror augmentation with static shapes.
+
+    per_example=True mirrors each example independently (p=0.5) and emits a
+    per-example (B,) distil_weight — the unmirrored half of every batch keeps
+    its Roach distillation signal (whole-batch mirroring zeroed ALL
+    distillation terms on half the training steps). per_example=False is the
+    round-2 whole-batch behavior."""
     batch = dict(batch)
-    batch.setdefault("distil_weight", jnp.ones(()))
-    do = jax.random.bernoulli(rng)
+    B = batch["imgs"].shape[0]
+    prev_dw = batch.pop("distil_weight", jnp.ones((B,)))
+    prev_dw = jnp.broadcast_to(jnp.asarray(prev_dw), (B,))
     mirrored = mirror_batch(batch)
-    return jax.tree.map(
-        lambda a, b: jnp.where(
-            jnp.reshape(do, (1,) * jnp.ndim(a)), b, a
-        ) if a is not None else None,
-        batch, mirrored,
-    )
+    mirrored.pop("distil_weight", None)
+    if per_example:
+        do = jax.random.bernoulli(rng, 0.5, (B,))
+    else:
+        do = jnp.broadcast_to(jax.random.bernoulli(rng), (B,))
+
+    def sel_leaf(a, b):
+        if a is None:
+            return None
+        if a.shape[:1] == (B,):
+            m = jnp.reshape(do, (B,) + (1,) * (a.ndim - 1))
+        elif a.shape[:1] == (4 * B,):     # per-camera flat gt_depth/gt_seg
+            m = jnp.reshape(
+                jnp.repeat(do, 4), (4 * B,) + (1,) * (a.ndim - 1)
+            )
+        else:                             # global (rig constants etc.)
+            return a
+        return jnp.where(m, b, a)
+
+    out = {
+        k: jax.tree.map(sel_leaf, batch[k], mirrored[k]) for k in batch
+    }
+    out["distil_weight"] = jnp.where(do, 0.0, prev_dw)
+    return out
