@@ -35,11 +35,39 @@ def _lookahead_target(town: TownMap, wp_idx, pos, lookahead_m: float):
 
 
 def _advance_wp(town: TownMap, wp_idx, pos):
-    """Advance the target waypoint pointer once it is passed (within 2.5 m or
-    behind the vehicle is unnecessary — distance check suffices at 20 Hz)."""
+    """Advance the target waypoint pointer.
+
+    Two triggers: proximity (within 2.5 m) OR passed abeam along the lane
+    heading. Proximity alone froze the pointer whenever a yield or recycle
+    left the vehicle displaced from its chain: pure pursuit then orbited the
+    stale fixed lookahead point at minimum turn radius — through anything
+    parked there, including a stopped ego (observed Town05 junction collision
+    mode: NPC circling at 1-2.5 m/s into the ego's front corner, its wp
+    frozen for 5+ s). An orbit-breaker additionally re-locks the pointer onto
+    whichever of the next 8 chain hops is closest (1 m hysteresis), so a
+    vehicle that drifted past several waypoints mid-yield re-acquires the
+    chain instead of circling back for a point it already passed.
+    """
     target = town.lane_pts[wp_idx]
-    reached = jnp.linalg.norm(target - pos, axis=-1) < 2.5
-    return jnp.where(reached, town.lane_next[wp_idx], wp_idx)
+    d0 = jnp.linalg.norm(target - pos, axis=-1)
+    ly = town.lane_yaw[wp_idx]
+    lane_dir = jnp.stack([jnp.cos(ly), jnp.sin(ly)], axis=-1)
+    beyond = jnp.einsum("vc,vc->v", pos - target, lane_dir) > 0.0
+    wp = jnp.where((d0 < 2.5) | beyond, town.lane_next[wp_idx], wp_idx)
+    best = wp
+    best_d = jnp.linalg.norm(town.lane_pts[wp] - pos, axis=-1)
+    # only re-lock when the chain is NEARBY: a remote target is a route-loop
+    # link whose teleport the step handles — walking the probe past it would
+    # land the jump several hops beyond the loop point
+    near_chain = best_d < 12.0
+    cur = wp
+    for _ in range(8):
+        cur = town.lane_next[cur]
+        dd = jnp.linalg.norm(town.lane_pts[cur] - pos, axis=-1)
+        better = (dd + 1.0 < best_d) & near_chain
+        best = jnp.where(better, cur, best)
+        best_d = jnp.where(better, dd, best_d)
+    return best
 
 
 def _front_gap(pos, yaw, speed, all_pos, all_yaw, all_ext, all_active, self_mask,
