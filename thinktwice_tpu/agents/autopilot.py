@@ -22,10 +22,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from thinktwice_tpu.config import Config
-from thinktwice_tpu.geometry import wrap_angle
-from thinktwice_tpu.maps.town import TownMap, traffic_light_states
+from thinktwice_tpu.geometry import segments_intersect, wrap_angle
+from thinktwice_tpu.maps.town import TL_RED, TL_YELLOW, TownMap, traffic_light_states
 from thinktwice_tpu.sim.state import WorldState
-from thinktwice_tpu.sim.traffic import _front_gap, _red_light_dist
+from thinktwice_tpu.sim.traffic import _front_gap
 
 CRUISE = 7.0
 COMFORT_DECEL = 3.0      # m/s^2 used for stop-distance speed profiles
@@ -96,8 +96,29 @@ def autopilot_control(cfg: Config, town: TownMap, state: WorldState,
     v_gap = jnp.clip((gap - 2.5) / 1.2, 0.0, CRUISE)
 
     # ---- red lights -------------------------------------------------------
+    # The governing light is the one whose stop line MY ROUTE crosses ahead —
+    # the same geometry RunningRedLightTest charges (stop-line segment
+    # crossing). The previous nearest-aligned-light test keyed on the ego's
+    # instantaneous heading, which is brittle while turning: an ego stopped
+    # AT its line mid-turn-entry drifted past the alignment cone, "lost" the
+    # light (d_red jumped to 1e4 with the phase still red), and pulled away
+    # across the red (observed on Town05 Long route 19).
     tl_states = traffic_light_states(town, state.time_s)
-    d_red = _red_light_dist(town, tl_states, ego.pos[None], ego.yaw[None])[0]
+    W_RED = 48
+    widx = jnp.clip(idx + jnp.arange(W_RED), 0, n - 1)
+    wpts = route[widx, :2]
+    seg_yaw = route[widx[:-1], 2]
+    crossing = segments_intersect(
+        wpts[:-1, None], wpts[1:, None],
+        town.tl_stopline[None, :, 0], town.tl_stopline[None, :, 1],
+    )                                                        # (W-1, NL)
+    hd_ok = jnp.abs(
+        wrap_angle(town.tl_yaw[None, :] - seg_yaw[:, None])
+    ) < jnp.pi / 3
+    stopping = (tl_states == TL_RED) | (tl_states == TL_YELLOW)
+    cand = crossing & hd_ok & stopping[None, :] & town.tl_valid[None, :]
+    seg_d = cum[widx[:-1]] - cum[idx]
+    d_red = jnp.min(jnp.where(jnp.any(cand, axis=1), seg_d, 1e4))
     v_red = jnp.where(d_red < 30.0, _stop_profile(d_red, 3.0), CRUISE)
 
     # ---- stop signs: stop once in the zone, then proceed ------------------
@@ -109,7 +130,11 @@ def autopilot_control(cfg: Config, town: TownMap, state: WorldState,
         town.stop_valid & aligned & (ahead > -1.0) & (d_stop < 12.0)
         & ~state.criteria.stop_has_stopped
     )
-    d_sign = jnp.min(jnp.where(pending, d_stop, 1e4))
+    # stop on the LONGITUDINAL distance: the lane-positioned ego passes the
+    # sign with 1.5-3 m of lateral offset, so the Euclidean distance can
+    # never reach the 1.5 m stop margin — the profile bottomed out at ~1 m/s
+    # and the ego drifted through RunningStopTest's 4 m zone without a stop
+    d_sign = jnp.min(jnp.where(pending, jnp.maximum(ahead, 0.0), 1e4))
     v_sign = jnp.where(d_sign < 12.0, _stop_profile(d_sign, 1.5), CRUISE)
 
     v_des = jnp.minimum(

@@ -59,7 +59,7 @@ def town05_cached(
         "n_bank": n_bank_files,
         "max_bank": max_bank_routes,
         "kwargs": {k: str(v) for k, v in sorted(compile_kwargs.items())},
-        "v": 12,  # bump to invalidate after compile_town or planner changes
+        "v": 13,  # bump to invalidate after compile_town or planner changes
     }
     key = hashlib.sha1(json.dumps(sig, sort_keys=True).encode()).hexdigest()[:16]
     path = os.path.join(CACHE_DIR, f"town_{key}.npz")

@@ -138,7 +138,8 @@ def _junction_stoplines(
     # 2. one stop line per (junction, approaching polyline direction)
     segs, pos, yaws, grp = [], [], [], []
     for gi, jc in enumerate(junctions):
-        seen_headings = []
+        seen_headings: list[float] = []
+        seen_points: list[np.ndarray] = []
         for poly in dense:
             d = np.linalg.norm(poly - jc[None], axis=1)
             k = int(np.argmin(d))
@@ -157,7 +158,18 @@ def _junction_stoplines(
             if any(abs(np.arctan2(np.sin(yaw - h), np.cos(yaw - h))) < 0.7
                    for h in seen_headings):
                 continue
+            # ALSO dedup by position: a turning route's heading at the
+            # setback point can rotate past the 0.7 rad gate while its
+            # setback point lands on an already-seen approach — that emitted
+            # two crossing stop lines for ONE physical approach, on
+            # alternating phase slots, so a vehicle legally clearing one
+            # always ran the other (observed: Town05 lights 105/107, centers
+            # 2.5 m apart, yaws 60° apart, same group). Real distinct
+            # approaches sit >= ~14 m apart at setback 10.
+            if any(float(np.linalg.norm(p - q)) < 6.0 for q in seen_points):
+                continue
             seen_headings.append(yaw)
+            seen_points.append(p)
             nvec = np.asarray([-np.sin(yaw), np.cos(yaw)])
             segs.append(np.stack([p - nvec * lane_half_w, p + nvec * lane_half_w]))
             pos.append(p)

@@ -181,10 +181,20 @@ def _red_light_dist(town: TownMap, tl_states, pos, yaw):
     lateral = jnp.abs(
         rel[..., 0] * (-jnp.sin(yaw))[:, None] + rel[..., 1] * jnp.cos(yaw)[:, None]
     )
-    heading_ok = jnp.abs(wrap_angle(town.tl_yaw[None, :] - yaw[:, None])) < jnp.pi / 4
+    # lateral bound covers the stop line's SPAN, not a fixed 3 m from its
+    # center: lane-positioned vehicles approach offset from the line center
+    # (rightmost lane), and a center-only test let them miss their own light
+    # — which RunningRedLightTest (criteria.py, segment crossing within 60°)
+    # still charges. Heading cone matches the criterion's pi/3 for the same
+    # reason: the agent must be at least as conservative as the scorer.
+    half_len = 0.5 * jnp.linalg.norm(
+        town.tl_stopline[:, 1] - town.tl_stopline[:, 0], axis=-1
+    )
+    lat_bound = jnp.maximum(half_len + 1.0, 3.0)
+    heading_ok = jnp.abs(wrap_angle(town.tl_yaw[None, :] - yaw[:, None])) < jnp.pi / 3
     cand = (
         (along > -2.0)
-        & (lateral < 3.0)
+        & (lateral < lat_bound[None, :])
         & heading_ok
         & town.tl_valid[None, :]
     )
