@@ -178,10 +178,15 @@ def step_world(
     # few cm every few seconds must still recycle, while genuinely flowing
     # traffic (red phase then green) clears its timer within seconds
     stationary = tr.active & (t_speed < 0.5) & ~prot
+    # decay only at real flow speed (> 1.5 m/s): a wedged queue creeping in
+    # stop-and-go bursts at < 1.5 m/s used to clear its timer every burst
+    # and never recycle (route-18 junction spillback sat for 700+ s)
+    flowing = t_speed > 1.5
     stop_s = jnp.where(
         stationary,
         tr.stop_s + sim.dt,
-        jnp.maximum(tr.stop_s - 5.0 * sim.dt, 0.0),
+        jnp.where(flowing, jnp.maximum(tr.stop_s - 5.0 * sim.dt, 0.0),
+                  tr.stop_s),
     )
     SP = town.spawn.shape[0]
     cand = jax.random.randint(rng_recycle, (V,), 0, SP)

@@ -166,8 +166,8 @@ def _cross_conflict_yield(pos, yaw, speed, all_pos, all_yaw, all_speed,
     return jnp.any(conflict, axis=-1)
 
 
-def _red_light_dist(town: TownMap, tl_states, pos, yaw):
-    """Distance to MY approach stop line if it is red/yellow, else large.
+def _approach_line_dist(town: TownMap, pos, yaw):
+    """(V,) distance to MY approach stop line ahead + its index (any phase).
 
     Only the NEAREST aligned stop line ahead governs (TrafficLightHandler
     semantics: an agent is bound by its own approach light). Checking "any
@@ -201,6 +201,12 @@ def _red_light_dist(town: TownMap, tl_states, pos, yaw):
     along_c = jnp.where(cand, along, 1e4)
     k = jnp.argmin(along_c, axis=-1)                                 # (V,)
     d_near = jnp.min(along_c, axis=-1)
+    return d_near, k
+
+
+def _red_light_dist(town: TownMap, tl_states, pos, yaw):
+    """Distance to MY approach stop line if it is red/yellow, else large."""
+    d_near, k = _approach_line_dist(town, pos, yaw)
     near_state = tl_states[k]
     stopping = (near_state == TL_RED) | (near_state == TL_YELLOW)
     return jnp.where(stopping & (d_near < 1e3), d_near, 1e4)
@@ -303,6 +309,27 @@ def traffic_policy(
     # which walks the NPC 3-4 m into the conflict over a 6 s crossing — the
     # observed slow-speed collision farm. 1.8 zeroes v_des outright.
     gap = jnp.where(must_yield | lane_conflict, jnp.minimum(gap, 1.8), gap)
+
+    # --- junction-box holdback (TrafficManager "don't block the box") ------
+    # Do not cross my stop line while a STOPPED vehicle occupies my lane
+    # path beyond the junction: a queue that spills back into the box parks
+    # across every other approach (observed: Town05 Long route 18 — the ego
+    # walled for 700+ s by a creeping cross-queue stopped inside the
+    # junction). Hold 2 m before the line until the exit clears.
+    d_line, _ = _approach_line_dist(town, veh_pos, veh_yaw)
+    far_path = path[:, 3:, :]                                # hops 4..8
+    vdist = jnp.linalg.norm(
+        far_path[:, :, None, :] - all_pos[None, None, :, :], axis=-1
+    )                                                        # (V, 5, A)
+    stopped_there = (
+        (vdist < 2.5)
+        & (all_speed[None, None, :] < 0.5)
+        & all_active[None, None, :]
+        & ~self_mask[:, None, :]
+    )
+    exit_blocked = jnp.any(stopped_there, axis=(1, 2))
+    hold = (d_line > 1.0) & (d_line < 10.0) & exit_blocked
+    gap = jnp.where(hold, jnp.minimum(gap, d_line - 2.0), gap)
 
     # per-vehicle cruise diversity ≈ TrafficManager's per-vehicle speed
     # percentage differences (behavior profiles): deterministic golden-ratio
