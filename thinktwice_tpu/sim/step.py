@@ -157,6 +157,14 @@ def step_world(
     t_pos = jnp.where(hold[:, None], tr.pos, t_pos)
     t_yaw = jnp.where(teleport, town.lane_yaw[new_wp], t_yaw)
     t_speed = jnp.where(teleport | hold, 0.0, t_speed)
+    # a held jump must also keep the OLD waypoint: storing the far link made
+    # loop_jump false on every later tick (new_wp == wp), so the NPC was
+    # stranded mid-road chasing a cross-country target — ghost traffic that
+    # wandered into the ego (route-19 collision: an NPC creeping at the ego
+    # with its lane target 400 m away). With the near pointer kept, the
+    # advance->loop_jump->teleport retry fires each tick until a landing is
+    # clear.
+    new_wp = jnp.where(hold, tr.wp_idx, new_wp)
 
     # --- deadlock recycle (TrafficManager global-flow stand-in) ------------
     # An NPC stationary longer than any red phase is wedged (two crossing
