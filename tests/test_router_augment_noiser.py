@@ -134,7 +134,7 @@ def test_advance_wp_passes_abeam():
     # vehicle 4 m to the side of wp 3, slightly past it
     pos = jnp.asarray([[6.5, 4.0]], jnp.float32)
     wp = jnp.asarray([3], jnp.int32)
-    wp2 = _advance_wp(t, wp, pos)
+    wp2 = _advance_wp(t, wp, pos, jnp.zeros((1,)))
     assert int(wp2[0]) > 3
 
 
@@ -150,7 +150,7 @@ def test_advance_wp_orbit_breaker_relocks():
     pos = jnp.asarray([[18.0, 2.6]], jnp.float32)
     wp = jnp.asarray([2], jnp.int32)
     for _ in range(4):
-        wp = _advance_wp(t, wp, pos)
+        wp = _advance_wp(t, wp, pos, jnp.zeros((1,)))
     d = float(jnp.linalg.norm(t.lane_pts[wp[0]] - pos[0]))
     assert d < 4.0, f"pointer did not re-lock: {d} m away"
 
@@ -166,6 +166,6 @@ def test_advance_wp_keeps_remote_loop_link():
     wp = jnp.asarray([23], jnp.int32)
     # retarget the tail's successor to hop 0 (loop link), vehicle at tail
     t.lane_next = t.lane_next.at[23].set(0)
-    wp2 = _advance_wp(t, wp, pos)
+    wp2 = _advance_wp(t, wp, pos, jnp.zeros((1,)))
     # advanced to the loop link (hop 0, 46 m away) and stays there
     assert int(wp2[0]) == 0

@@ -34,7 +34,7 @@ def _lookahead_target(town: TownMap, wp_idx, pos, lookahead_m: float):
     return town.lane_pts[idx]
 
 
-def _advance_wp(town: TownMap, wp_idx, pos):
+def _advance_wp(town: TownMap, wp_idx, pos, yaw):
     """Advance the target waypoint pointer.
 
     Two triggers: proximity (within 2.5 m) OR passed abeam along the lane
@@ -67,7 +67,29 @@ def _advance_wp(town: TownMap, wp_idx, pos):
         better = (dd + 1.0 < best_d) & near_chain
         best = jnp.where(better, cur, best)
         best_d = jnp.where(better, dd, best_d)
-    return best
+    # LOST recovery: a vehicle displaced > 12 m from BOTH its old and new
+    # targets has no path back — the orbit-breaker is gated to nearby hops,
+    # and pure pursuit toward the stale far point turns it into ghost
+    # traffic wandering the map (observed: NPCs circling near the ego with
+    # lane targets 100+ m away, 13 minutes after losing their chain).
+    # Re-acquire the nearest heading-compatible valid lane point (strided
+    # scan: re-lock accuracy of ~4 m is enough — the normal advance and the
+    # orbit-breaker refine from there). The old-target distance gate keeps
+    # legitimate route-loop links (vehicle still AT the tail it just
+    # passed) intact for the step's guarded teleport.
+    d_old = jnp.linalg.norm(town.lane_pts[wp_idx] - pos, axis=-1)
+    lost = (best_d > 12.0) & (d_old > 12.0)
+    stride = 4
+    cand_pts = town.lane_pts[::stride]
+    cand_yaw = town.lane_yaw[::stride]
+    cand_ok = town.lane_valid[::stride]
+    dist = jnp.linalg.norm(cand_pts[None, :, :] - pos[:, None, :], axis=-1)
+    hd_ok = jnp.abs(wrap_angle(cand_yaw[None, :] - yaw[:, None])) < 1.3
+    dist = jnp.where(cand_ok[None, :] & hd_ok, dist, 1e9)
+    k = jnp.argmin(dist, axis=-1)
+    found = jnp.take_along_axis(dist, k[:, None], axis=-1)[:, 0] < 100.0
+    near_idx = (k * stride).astype(best.dtype)
+    return jnp.where(lost & found, near_idx, best)
 
 
 def _front_gap(pos, yaw, speed, all_pos, all_yaw, all_ext, all_active, self_mask,
@@ -356,7 +378,7 @@ def traffic_policy(
     v_des = jnp.minimum(v_des, v_turn)
     accel = jnp.clip((v_des - veh_speed) / 0.5, -cfg.npc_decel, cfg.npc_accel)
 
-    new_wp = _advance_wp(town, veh_wp, veh_pos)
+    new_wp = _advance_wp(town, veh_wp, veh_pos, veh_yaw)
     # route-bank loop links: the lane network chains each route back to its
     # start, so a successor far from the vehicle is a loop jump, not lane
     # continuity — chasing it would drive the NPC cross-country through
