@@ -79,7 +79,7 @@ def _advance_wp(town: TownMap, wp_idx, pos, yaw):
     # passed) intact for the step's guarded teleport.
     d_old = jnp.linalg.norm(town.lane_pts[wp_idx] - pos, axis=-1)
     lost = (best_d > 12.0) & (d_old > 12.0)
-    stride = 4
+    stride = 8
     cand_pts = town.lane_pts[::stride]
     cand_yaw = town.lane_yaw[::stride]
     cand_ok = town.lane_valid[::stride]
