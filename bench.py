@@ -69,7 +69,11 @@ def town05_world(cfg):
             break
     from thinktwice_tpu.maps.cache import town05_cached
 
-    town = town05_cached(H5, [ROUTES_XML])
+    # honest world: raised caps match scripts/eval_town05.py; strict=True
+    # fails loudly instead of silently truncating ~12% of segments
+    # (VERDICT r2 weak #3)
+    town = town05_cached(H5, [ROUTES_XML], max_lane_pts=49152,
+                         max_road_segs=8192, max_lane_segs=8192, strict=True)
     scens = []
     for r in routes:
         n = len(r)
@@ -133,9 +137,10 @@ def main():
         jnp.zeros((1, cfg.birdview.n_channels, 192, 192)),
         jnp.zeros((1, cfg.roach.state_dim)),
     )
-    # use the PPO-trained expert when available so the benchmark exercises
+    # use the newest trained expert when available so the benchmark exercises
     # real driving behavior (traffic interactions, light stops)
-    for run_name in ("roach_bc", "roach_town05_v2", "roach_town05", "roach_ppo"):
+    for run_name in ("roach_bc3", "roach_bc", "roach_town05_v2",
+                     "roach_town05", "roach_ppo"):
         ckpt = os.path.join(REPO, "runs", run_name, "ckpt")
         if os.path.isdir(ckpt):
             try:

@@ -86,7 +86,7 @@ def main():
                  "routes_for_open_loop_training/routes_town05_0*.xml")
     bank_files = sorted(_glob.glob(bank_glob))[:4]
     town = town05_cached(H5, [ROUTES] + bank_files, max_lane_pts=49152,
-                         max_road_segs=8192, max_lane_segs=8192)
+                         max_road_segs=8192, max_lane_segs=8192, strict=True)
     n_tl = int(np.asarray(town.tl_valid).sum())
     print(f"town ready: {n_tl} traffic lights")
 

@@ -209,3 +209,15 @@ def test_birdview_route_channel_on_town05(town05):
     means = np.asarray(bv.mean(axis=(1, 2)))
     assert means[0] > 0.2, f"road channel empty: {means}"
     assert means[1] > 0.01, f"route channel empty: {means}"
+
+
+def test_strict_mode_raises_on_truncation():
+    """Benchmark/eval contexts must fail loudly when the compiled world
+    would silently lose content to capacity caps (VERDICT r2 weak #3)."""
+    from thinktwice_tpu.harness.route_parser import parse_routes_file
+    from thinktwice_tpu.maps.compile_h5 import compile_town
+
+    specs = parse_routes_file(ROUTES)
+    polylines = [s.dense(spacing=2.0) for s in specs[:3]]
+    with pytest.raises(ValueError, match="cap"):
+        compile_town(H5, polylines, max_road_segs=8, strict=True)

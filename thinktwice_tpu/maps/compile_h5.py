@@ -229,9 +229,14 @@ def compile_town(
     max_road_segs: int = 2048,
     max_lane_segs: int = 2048,
     raster_downsample: int = 2,
+    strict: bool = False,
 ) -> TownMap:
     """route_polylines: list of (K, >=2) world-frame polylines (dense routes
-    from harness.route_parser, or any lane-graph export)."""
+    from harness.route_parser, or any lane-graph export).
+
+    strict=True turns every capacity truncation into a ValueError — required
+    for benchmark/eval contexts where a silently-smaller world would make the
+    measurement dishonest (VERDICT r2 weak #3)."""
     assert h5py is not None, "h5py required to import reference town maps"
     with h5py.File(h5_path, "r") as hf:
         road = np.asarray(hf["road"], np.uint8)
@@ -302,10 +307,11 @@ def compile_town(
         if idxs and lane_next[idxs[-1]] == idxs[-1]:
             lane_next[idxs[-1]] = idxs[0]  # loop the route's tail
         if capacity_hit:
-            print(
-                f"WARNING compile_town: lane_pts capacity {max_lane_pts} "
-                f"reached — dropping remaining routes from the lane network"
-            )
+            msg = (f"compile_town: lane_pts capacity {max_lane_pts} "
+                   f"reached — dropping remaining routes from the lane network")
+            if strict:
+                raise ValueError(msg)
+            print(f"WARNING {msg}")
             break
 
     road_segs, lane_segs = [], []
@@ -356,8 +362,11 @@ def compile_town(
                          ("lane_segs", len(lane_segs), max_lane_segs),
                          ("lane_pts", len(lane_pts), max_lane_pts)):
         if n > cap:
-            print(f"WARNING compile_town: {name} {n} > cap {cap} — "
-                  f"truncating (raise the cap; silent loss of world content)")
+            msg = (f"compile_town: {name} {n} > cap {cap} — truncating "
+                   f"(raise the cap; silent loss of world content)")
+            if strict:
+                raise ValueError(msg)
+            print(f"WARNING {msg}")
 
     # --- traffic lights: stopline raster if present, else junction
     # detection from route-polyline crossings ------------------------------
