@@ -77,6 +77,12 @@ def main():
                          "per macro step (labels stay the teacher's)")
     ap.add_argument("--dagger-ramp", type=int, default=100,
                     help="iters to ramp the mix from 0 to --dagger")
+    ap.add_argument("--perturb", type=float, default=0.05,
+                    help="prob per world per macro step of a lateral/heading "
+                         "displacement before the observation (recovery-state "
+                         "coverage)")
+    ap.add_argument("--eval-every", type=int, default=25,
+                    help="closed-loop policy-only probe cadence (iters)")
     args = ap.parse_args()
 
     planner = raster_planner(H5)
@@ -91,7 +97,7 @@ def main():
         max_lights=256, max_stop_signs=32, max_route_len=MAX_ROUTE_LEN,
         max_scenarios=4))
     bcfg = BCConfig(n_envs=args.envs, n_steps=args.steps,
-                    n_vehicles=args.vehicles)
+                    n_vehicles=args.vehicles, perturb_prob=args.perturb)
     init_fn, iterate_fn = make_bc(cfg, bcfg, town,
                                   jnp.asarray(bank, jnp.float32))
     params, opt_state, env_states = init_fn(jax.random.key(0))
@@ -110,6 +116,10 @@ def main():
             params, opt_state, env_states, jax.random.key(7000 + it),
             dagger_mix=mix,
         )
+        if args.eval_every and (it % args.eval_every == 0
+                                or it == args.iters - 1):
+            ev = iterate_fn.eval_fn(params, jax.random.key(9000 + it))
+            m = {**m, **{k: float(v) for k, v in ev.items()}}
         if it % 5 == 0 or it == args.iters - 1:
             rec = {k: round(float(v), 5) for k, v in m.items()}
             rec["iter"] = it

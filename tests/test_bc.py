@@ -41,3 +41,32 @@ def test_bc_iterate(small_cfg, town):
         if m0 is None:
             m0 = m
     assert float(m["bc_nll"]) < float(m0["bc_nll"])
+
+
+def test_bc_perturb_and_eval_probe(small_cfg, town):
+    """Perturbation-recovery rollouts must still produce finite metrics, and
+    the closed-loop probe must return the plateau-visibility fields."""
+    cfg = small_cfg
+    routes = np.stack(
+        [
+            np.stack([np.linspace(5, 180, 256), np.full(256, 98.25),
+                      np.zeros(256)], axis=1),
+            np.stack([np.linspace(10, 185, 256), np.full(256, 198.25),
+                      np.zeros(256)], axis=1),
+        ]
+    ).astype(np.float32)
+    bcfg = BCConfig(n_envs=2, n_steps=8, minibatch=8, n_epochs=1,
+                    n_vehicles=2, perturb_prob=0.5, eval_envs=2,
+                    eval_steps=8)
+    init_fn, iterate_fn = make_bc(cfg, bcfg, town, jnp.asarray(routes))
+    params, opt_state, env_states = init_fn(jax.random.key(0))
+    params, opt_state, env_states, m = iterate_fn(
+        params, opt_state, env_states, jax.random.key(1)
+    )
+    for k, v in m.items():
+        assert np.isfinite(float(v)), (k, v)
+    ev = iterate_fn.eval_fn(params, jax.random.key(2))
+    for k in ("cl_completion", "cl_collisions", "cl_red", "cl_done",
+              "cl_speed"):
+        assert np.isfinite(float(ev[k])), (k, ev[k])
+    assert 0.0 <= float(ev["cl_completion"]) <= 1.0
