@@ -322,13 +322,6 @@ def compile_town(
             a, b = coarse[k], coarse[k + 1]
             road_segs.append((a[0], a[1], b[0], b[1], ROAD_HALF_W))
             lane_segs.append((a[0], a[1], b[0], b[1], LANE_MARK_HALF_W, 1.0))
-    for poly in route_polylines:
-        # thick road segments every ~10 m along the polyline
-        coarse = densify_polyline(np.asarray(poly)[:, :2], spacing=10.0)
-        for k in range(len(coarse) - 1):
-            a, b = coarse[k], coarse[k + 1]
-            road_segs.append((a[0], a[1], b[0], b[1], ROAD_HALF_W))
-            lane_segs.append((a[0], a[1], b[0], b[1], LANE_MARK_HALF_W, 1.0))
 
     lane_pts = np.asarray(lane_pts, np.float32).reshape(-1, 2)
     lane_yaw = np.asarray(lane_yaw, np.float32)
