@@ -54,6 +54,11 @@ def main():
     ap.add_argument("--agent", choices=["expert", "student", "autopilot"],
                     default="expert")
     ap.add_argument("--ckpt", default="runs/roach_ppo/ckpt")
+    ap.add_argument("--torch-ckpt", default="",
+                    help="reference ckpt_11833344.pth-style file; converted "
+                         "via train/convert_torch.py and used as the expert "
+                         "(the file is not committed upstream, so this is "
+                         "for users who hold the published checkpoint)")
     ap.add_argument("--vehicles", type=int, default=120)
     ap.add_argument("--routes", type=int, default=10)
     ap.add_argument("--out", default=None)
@@ -130,7 +135,22 @@ def main():
             jnp.zeros((1, cfg.birdview.n_channels, 192, 192)),
             jnp.zeros((1, cfg.roach.state_dim)),
         )
-        if os.path.isdir(args.ckpt):
+        if args.torch_ckpt:
+            import dataclasses as _dc
+
+            from thinktwice_tpu.train.convert_torch import (
+                convert_roach_checkpoint,
+            )
+
+            params, init_kwargs = convert_roach_checkpoint(args.torch_ckpt)
+            sn = tuple(init_kwargs.get("features_extractor_kwargs", {})
+                       .get("states_neurons", (256, 256)))
+            # expert_control builds its RoachPolicy from cfg.roach — the
+            # converted checkpoint's arch must be reflected there
+            cfg = _dc.replace(cfg, roach=_dc.replace(
+                cfg.roach, states_neurons=sn))
+            print(f"converted torch expert from {args.torch_ckpt}")
+        elif os.path.isdir(args.ckpt):
             params = ckpt_lib.restore_pytree(args.ckpt, params)
             print(f"loaded expert from {args.ckpt}")
         else:
