@@ -42,6 +42,26 @@ BANK = sorted(glob.glob(
 MAX_ROUTE_LEN = 768
 
 
+def build_scenario_bank(cfg, town, bank):
+    """Stacked ScenarioState (NR leading) with the same map-derived triggers
+    the eval path uses, so BC rollouts contain crossing walkers / junction
+    vehicles (BC3 trained scenario-free and blocked on them closed-loop)."""
+    import jax as _jax
+
+    from thinktwice_tpu.harness.evaluator import (
+        build_route_scenarios,
+        derive_map_triggers,
+    )
+    from thinktwice_tpu.sim.reset import zero_scenarios
+
+    scens = []
+    for dense in bank:
+        trig = derive_map_triggers(town, dense)
+        s = build_route_scenarios(cfg, dense, trig)
+        scens.append(zero_scenarios(cfg) if s is None else s)
+    return _jax.tree.map(lambda *xs: jnp.stack(xs), *scens)
+
+
 def load_routes(planner, max_routes=192, min_len=60.0):
     """Training bank densified + chopped long eval-adjacent geometry.
 
@@ -69,7 +89,11 @@ def main():
     ap.add_argument("--iters", type=int, default=400)
     ap.add_argument("--envs", type=int, default=24)
     ap.add_argument("--steps", type=int, default=256)
-    ap.add_argument("--vehicles", type=int, default=24)
+    ap.add_argument("--vehicles", type=int, default=96,
+                    help="eval-like density (Town05 Long runs 120; BC3's 24 "
+                         "left 'stopped vehicle near lane' states uncovered)")
+    ap.add_argument("--scenarios", action="store_true", default=True)
+    ap.add_argument("--no-scenarios", dest="scenarios", action="store_false")
     ap.add_argument("--out", default="runs/roach_bc")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--dagger", type=float, default=0.0,
@@ -93,13 +117,18 @@ def main():
           f"{int(np.asarray(town.tl_valid).sum())} lights", flush=True)
 
     cfg = Config(sim=SimConfig(
-        max_vehicles=max(args.vehicles, 8), max_walkers=4,
+        # +8 reserves the top traffic slots for scenario actors
+        # (build_route_scenarios assigns them from max_vehicles-1 downward,
+        # same layout as eval_town05.py)
+        max_vehicles=args.vehicles + 8, max_walkers=8,
         max_lights=256, max_stop_signs=32, max_route_len=MAX_ROUTE_LEN,
-        max_scenarios=4))
+        max_scenarios=8))
     bcfg = BCConfig(n_envs=args.envs, n_steps=args.steps,
                     n_vehicles=args.vehicles, perturb_prob=args.perturb)
+    scen_bank = build_scenario_bank(cfg, town, bank) if args.scenarios else None
     init_fn, iterate_fn = make_bc(cfg, bcfg, town,
-                                  jnp.asarray(bank, jnp.float32))
+                                  jnp.asarray(bank, jnp.float32),
+                                  scenarios=scen_bank)
     params, opt_state, env_states = init_fn(jax.random.key(0))
 
     os.makedirs(args.out, exist_ok=True)

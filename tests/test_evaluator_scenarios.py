@@ -31,14 +31,82 @@ def test_eval_with_crossing_scenario(small_cfg, town, tmp_path):
     route = straight_route()
     trigs = [ScenarioTrigger("Scenario3", np.asarray([40.0, -1.75]), 90.0)]
     scen = build_route_scenarios(small_cfg, route, trigs)
+    out = str(tmp_path / "s0.json")
     g = evaluate_routes(
         small_cfg, town, [route], ["s0"],
         policy_fn=autopilot_control,
         worlds_per_batch=1,
         max_steps=1600,
         scenarios=[scen],
+        out_path=out,
     )
-    # the autopilot brakes for the crossing walker but should still finish;
-    # score must be a valid leaderboard number either way
-    assert 0.0 <= g["scores"]["score_composed"] <= 100.0
-    assert g["scores"]["score_route"] > 50.0
+    # the autopilot must handle the crossing walker: no pedestrian contact,
+    # full completion, and the composed score must reflect any residual
+    # penalty multiplicatively (statistics_manager.py:121-207 semantics)
+    from thinktwice_tpu.harness.statistics import load_results
+
+    rec = load_results(out)["_checkpoint"]["records"][0]
+    assert rec["infractions"]["collisions_pedestrian"] == []
+    assert g["scores"]["score_route"] == 100.0
+    assert g["scores"]["score_composed"] > 60.0
+
+
+def _blind_policy(cfg, town, state):
+    """Full throttle, zero steer — ignores every actor and light."""
+    import jax.numpy as jnp
+
+    return jnp.asarray([0.0, 1.0, 0.0])
+
+
+def test_ignored_crossing_walker_scores_pedestrian_collision(
+    small_cfg, town, tmp_path
+):
+    # VERDICT r2 #10: ignoring Scenario3 MUST score a pedestrian collision
+    # with its exact 0.50 penalty (atomic_criteria.py:285-438 semantics),
+    # not merely "some DS in [0, 100]"
+    route = straight_route()
+    trigs = [ScenarioTrigger("Scenario3", np.asarray([40.0, -1.75]), 90.0)]
+    scen = build_route_scenarios(small_cfg, route, trigs)
+    out = str(tmp_path / "blind.json")
+    g = evaluate_routes(
+        small_cfg, town, [route], ["blind"],
+        policy_fn=_blind_policy,
+        worlds_per_batch=1,
+        max_steps=1600,
+        scenarios=[scen],
+        out_path=out,
+    )
+    from thinktwice_tpu.harness.statistics import load_results
+
+    rec = load_results(out)["_checkpoint"]["records"][0]
+    n_ped = len(rec["infractions"]["collisions_pedestrian"])
+    assert n_ped >= 1, rec["infractions"]
+    assert rec["scores"]["score_penalty"] <= 0.50 ** n_ped + 1e-6
+
+
+def test_ignored_oncoming_vehicle_scores_vehicle_collision(
+    small_cfg, town, tmp_path
+):
+    # Scenario6 (ManeuverOppositeDirection): an oncoming car on the ego's
+    # line; a blind ego must record a VEHICLE collision (penalty 0.60), and
+    # no pedestrian/static infraction may be mis-attributed
+    route = straight_route()
+    trigs = [ScenarioTrigger("Scenario6", np.asarray([45.0, -1.75]), 180.0)]
+    scen = build_route_scenarios(small_cfg, route, trigs)
+    out = str(tmp_path / "blind2.json")
+    g = evaluate_routes(
+        small_cfg, town, [route], ["blind"],
+        policy_fn=_blind_policy,
+        worlds_per_batch=1,
+        max_steps=1200,
+        scenarios=[scen],
+        out_path=out,
+    )
+    from thinktwice_tpu.harness.statistics import load_results
+
+    rec = load_results(out)["_checkpoint"]["records"][0]
+    assert len(rec["infractions"]["collisions_vehicle"]) >= 1, (
+        rec["infractions"]
+    )
+    assert rec["infractions"]["collisions_pedestrian"] == []
+    assert rec["scores"]["score_penalty"] <= 0.60 + 1e-6

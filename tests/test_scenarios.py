@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from thinktwice_tpu.sim import scenarios as scen_lib
 from thinktwice_tpu.sim.reset import make_scenarios, reset_world
@@ -141,6 +142,36 @@ def test_walker_roadside_ttc_spawn(small_cfg, town):
     np.testing.assert_allclose(first[0], trigger[0], atol=0.5)
 
 
+def test_lead_vehicle_spawns_brakes_and_clears(small_cfg, town):
+    # FollowLeadingVehicle (kind 3): the scenario must SPAWN its own lead
+    # (it gets a reserved top slot that background traffic never fills —
+    # the pre-fix speed-override was a silent no-op in eval), cruise ahead
+    # of the ego, brake to a standstill, then clear
+    scen = make_scenarios(
+        small_cfg,
+        kinds=np.asarray([scen_lib.KIND_LEAD_VEHICLE_BRAKE]),
+        trigger_pos=np.asarray([[45.0, -1.75]]),
+        actor_idx=np.asarray([0]),
+        params=np.asarray([[15.0, 0.0, 0.0, 0.0]]),
+    )
+    st = reset_world(
+        small_cfg, town, straight_route(), jax.random.key(0), scenario=scen
+    )
+    cruised = stopped_while_active = False
+    for _ in range(600):
+        st, _ = JIT_STEP(small_cfg, town, st, jnp.asarray([0.0, 0.6, 0.0]))
+        if bool(st.traffic.active[0]):
+            spd = float(st.traffic.speed[0])
+            cruised = cruised or spd > 3.0
+            stopped_while_active = stopped_while_active or (
+                cruised and spd < 0.1
+            )
+    assert cruised, "lead never spawned/cruised"
+    assert stopped_while_active, "lead never braked to a standstill"
+    # after the full duration the slot deactivates (lead 'drives off')
+    assert not bool(st.traffic.active[0])
+
+
 def test_scenario_collision_scored(small_cfg, town):
     # oncoming car on the ego's exact line + full-throttle ego = collision
     st, _, _ = run_with_scenario(
@@ -148,3 +179,55 @@ def test_scenario_collision_scored(small_cfg, town):
         trigger=[45.0, -1.75], yaw=np.pi, ticks=300, throttle=1.0,
     )
     assert int(st.criteria.n_collision_vehicle) >= 1
+
+
+# --- golden traces (VERDICT r2 #10) ----------------------------------------
+# One frozen rollout fingerprint per scenario kind on a fixed seed: the tick
+# the scenario actor first activates, its pose at that tick, the ego's final
+# position, and the collision counts after 500 ticks of a constant-throttle
+# (0.5) blind ego. Any behavior drift in scenario staging, trigger timing,
+# spawn geometry, world dynamics, or criteria changes these numbers and must
+# be re-frozen DELIBERATELY (regenerate with the parameters below).
+GOLDEN = {
+    # kind: (first_active_tick, actor_x, actor_y, ego_x, ego_y, n_veh, n_wlk)
+    1: (249, 45.0, -7.69, 84.9, -1.8, 0, 1),
+    2: (-1, 0.0, 0.0, 84.9, -2.3, 0, 0),
+    3: (249, 63.3, -1.75, 84.9, -1.8, 1, 0),
+    4: (249, 45.0, -1.35, 84.9, -1.8, 0, 0),
+    5: (249, 44.7, -1.75, 84.9, -1.8, 1, 0),
+    6: (249, 45.0, -7.55, 84.9, -1.8, 0, 0),
+    7: (249, 63.2, -1.75, 84.9, -1.8, 0, 0),
+}
+
+
+def _golden_trace(small_cfg, town, kind):
+    p3 = 14.0 if kind == 7 else 0.0
+    yaw = {3: 0.0, 5: np.pi, 7: 0.0}.get(kind, np.pi / 2)
+    scen = make_scenarios(
+        small_cfg, kinds=np.asarray([kind]),
+        trigger_pos=np.asarray([[45.0, -1.75]]), actor_idx=np.asarray([0]),
+        params=np.asarray([[15.0, yaw, 0.0, p3]]),
+    )
+    st = reset_world(
+        small_cfg, town, straight_route(), jax.random.key(0), scenario=scen
+    )
+    first_active, first_pos = -1, (0.0, 0.0)
+    for t in range(500):
+        st, _ = JIT_STEP(small_cfg, town, st, jnp.asarray([0.0, 0.5, 0.0]))
+        if first_active < 0 and bool(st.traffic.active[0]):
+            first_active = t
+            first_pos = (round(float(st.traffic.pos[0, 0]), 2),
+                         round(float(st.traffic.pos[0, 1]), 2))
+        if first_active < 0 and bool(st.walkers.active[0]):
+            first_active = t
+            first_pos = (round(float(st.walkers.pos[0, 0]), 2),
+                         round(float(st.walkers.pos[0, 1]), 2))
+    return (first_active, first_pos[0], first_pos[1],
+            round(float(st.ego.pos[0]), 1), round(float(st.ego.pos[1]), 1),
+            int(st.criteria.n_collision_vehicle),
+            int(st.criteria.n_collision_walker))
+
+
+@pytest.mark.parametrize("kind", sorted(GOLDEN))
+def test_golden_trace(small_cfg, town, kind):
+    assert _golden_trace(small_cfg, town, kind) == GOLDEN[kind]

@@ -49,7 +49,9 @@ CROSSING_SPEED = 2.0      # m/s walker dash speed
 CROSSING_DURATION = 6.0   # s
 CONTROL_LOSS_DURATION = 3.0
 CONTROL_LOSS_NOISE = 0.15  # steer noise amplitude
-LEAD_BRAKE_DURATION = 5.0
+LEAD_BRAKE_DURATION = 12.0    # cruise + standstill phase (ego must stop)
+LEAD_BRAKE_DELAY = 3.0        # seconds of cruising before the sudden stop
+LEAD_CRUISE_SPEED = 6.0
 CROSS_VEHICLE_SPEED = 8.0
 CROSS_VEHICLE_DURATION = 6.0
 ONCOMING_SPEED = 6.0
@@ -150,22 +152,25 @@ def step_scenarios(
     # --- lead-vehicle brake override --------------------------------------
     V = traffic.pos.shape[0]
     veh_onehot = jax.nn.one_hot(scen.actor_idx, V, dtype=jnp.float32)  # (S, V)
-    braking = ((new_state == RUNNING) & (scen.kind == KIND_LEAD_VEHICLE_BRAKE)).astype(
-        jnp.float32
-    )
-    brake_mask = jnp.einsum("sv,s->v", veh_onehot, braking) > 0.5
-    speed_override = jnp.where(brake_mask, 0.0, 1e4)
+    # speed_override caps BACKGROUND actors' desired speed; scenario actors
+    # are scripted directly below, so no kind needs it anymore (kind 3 used
+    # to brake a background actor in its slot, but build_route_scenarios
+    # reserves the TOP slots — which background traffic never fills — so
+    # that path was a silent no-op in eval; the lead is now spawned)
+    speed_override = jnp.full((V,), 1e4)
 
     # --- adversarial vehicle spawns (junction crossing / oncoming) --------
     # param = [trigger_dist, drive_yaw, _, _]; the actor slot activates at
     # trigger_pos driving straight at a fixed speed for the duration, then
     # deactivates (≡ the py_trees actor-source/sink pattern,
     # atomic_behaviors.py ActorSource/ActorSink)
+    is_lead_brake = scen.kind == KIND_LEAD_VEHICLE_BRAKE
     is_vehicle_scen = (
         (scen.kind == KIND_CROSSING_VEHICLE)
         | (scen.kind == KIND_ONCOMING_VEHICLE)
         | (scen.kind == KIND_VEHICLE_TURNING)
         | (scen.kind == KIND_BLOCKED_OVERTAKE)
+        | is_lead_brake
     )
     v_activate = (fire & is_vehicle_scen)[:, None] & (veh_onehot > 0.5)  # (S, V)
     v_deactivate = (finish & is_vehicle_scen)[:, None] & (veh_onehot > 0.5)
@@ -184,12 +189,17 @@ def step_scenarios(
         # cyclist starts at the roadside of the lane the ego turns into
         scen.trigger_pos - WALKER_SIDE_OFFSET * heading,
         jnp.where(
-            is_overtake[:, None],
+            (is_overtake | is_lead_brake)[:, None],
             # decelerating lead spawns ahead of the trigger along the route
             scen.trigger_pos + 18.0 * heading,
             scen.trigger_pos,
         ),
     )
+    # FollowLeadingVehicle (follow_leading_vehicle.py): the spawned lead
+    # cruises ahead of the ego, brakes to a standstill after
+    # LEAD_BRAKE_DELAY, holds until the scenario ends (the reference lead
+    # then drives off; here the slot deactivates, same effect on the ego)
+    lead_speed = jnp.where(new_timer < LEAD_BRAKE_DELAY, LEAD_CRUISE_SPEED, 0.0)
     scen_speed = jnp.where(
         is_turning,
         CYCLIST_SPEED,
@@ -197,9 +207,13 @@ def step_scenarios(
             is_overtake,
             LEAD_SLOW_SPEED,
             jnp.where(
-                scen.kind == KIND_CROSSING_VEHICLE,
-                CROSS_VEHICLE_SPEED,
-                ONCOMING_SPEED,
+                is_lead_brake,
+                lead_speed,
+                jnp.where(
+                    scen.kind == KIND_CROSSING_VEHICLE,
+                    CROSS_VEHICLE_SPEED,
+                    ONCOMING_SPEED,
+                ),
             ),
         ),
     )

@@ -81,8 +81,20 @@ class BCConfig:
     eval_steps: int = 768       # sim ticks (~38 s of game time)
 
 
-def make_bc(cfg: Config, bcfg: BCConfig, town: TownMap, routes):
-    """routes: (NR, R, 3) dense route bank. Returns (init_fn, iterate_fn)."""
+def make_bc(cfg: Config, bcfg: BCConfig, town: TownMap, routes,
+            scenarios=None):
+    """routes: (NR, R, 3) dense route bank; scenarios: optional stacked
+    ScenarioState with leading dim NR (one per route — zero_scenarios rows
+    for routes without triggers), so the rollout worlds contain the same
+    crossing-walker / junction-vehicle events as the eval distribution.
+    Returns (init_fn, iterate_fn).
+
+    BC4 diagnosis note (scripts/diag_bc_blocked.py): the BC3 clone's blocked
+    eval failures were all the POLICY idling or full-braking behind a
+    stopped vehicle 7-10 m away while the teacher commanded throttle 0.85 —
+    states almost absent from 24-vehicle scenario-free training rollouts.
+    Train at eval-like density with scenarios and weight the restart frames
+    up (see loss_fn)."""
     policy = RoachPolicy(
         features_dim=cfg.roach.features_dim,
         states_neurons=cfg.roach.states_neurons,
@@ -97,11 +109,17 @@ def make_bc(cfg: Config, bcfg: BCConfig, town: TownMap, routes):
     # the tail eval_envs routes are held out for the closed-loop probe
     NR_TRAIN = max(NR - bcfg.eval_envs, 1)
 
+    def _route_scenario(idx):
+        if scenarios is None:
+            return None
+        return jax.tree.map(lambda x: x[idx], scenarios)
+
     def reset_env(i, rng):
         rk, rr = jax.random.split(rng)
         idx = jax.random.randint(jax.random.fold_in(rk, i), (), 0, NR_TRAIN)
         return reset_world(cfg, town, routes[idx], rr,
-                           n_vehicles=bcfg.n_vehicles)
+                           n_vehicles=bcfg.n_vehicles,
+                           scenario=_route_scenario(idx))
 
     def maybe_reset(state, done, rng, env_idx):
         fresh = reset_env(env_idx, rng)
@@ -228,9 +246,16 @@ def make_bc(cfg: Config, bcfg: BCConfig, town: TownMap, routes):
         # the ego is already stopped AND the label is brake — the moving
         # data (including brake onsets, which stay at full weight) dominates
         # the gradient, but stop-at-red is still supervised.
+        # BC4 (diag_bc_blocked): "stopped + idle" labels (acc ~ 0, throttle
+        # 0.02) are as absorbing as explicit brake labels — extend the
+        # downweight from acc < -0.3 to acc < 0.1. And the RESTART frames
+        # (ego stopped, teacher accelerating away — the exact boundary the
+        # blocked clone gets wrong) are rare; upweight them 3x.
         stopped = batch["sv"][:, 4] < 0.3
-        brake_label = batch["action"][:, 0] < -0.3
-        w = jnp.where(stopped & brake_label, 0.2, 1.0)
+        hold_label = batch["action"][:, 0] < 0.1
+        restart_label = batch["action"][:, 0] > 0.3
+        w = jnp.where(stopped & hold_label, 0.2, 1.0)
+        w = jnp.where(stopped & restart_label, 3.0, w)
         w = w / jnp.mean(w)
         per = -beta_log_prob(jit_a, out["alpha"], out["beta"])
         nll = jnp.mean(w[:, None] * per)
@@ -291,7 +316,8 @@ def make_bc(cfg: Config, bcfg: BCConfig, town: TownMap, routes):
         idxs = (NR - 1 - jnp.arange(E)) % NR
         states = jax.vmap(
             lambda i, k: reset_world(cfg, town, routes[i], k,
-                                     n_vehicles=bcfg.n_vehicles)
+                                     n_vehicles=bcfg.n_vehicles,
+                                     scenario=_route_scenario(i))
         )(idxs, jax.random.split(rng, E))
 
         def macro(states, _):
