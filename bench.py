@@ -137,9 +137,11 @@ def main():
         jnp.zeros((1, cfg.birdview.n_channels, 192, 192)),
         jnp.zeros((1, cfg.roach.state_dim)),
     )
-    # use the newest trained expert when available so the benchmark exercises
-    # real driving behavior (traffic interactions, light stops)
-    for run_name in ("roach_bc3", "roach_bc", "roach_town05_v2",
+    # use the best trained expert when available so the benchmark exercises
+    # real driving behavior (traffic interactions, light stops); bc3 leads
+    # because it holds the best closed-loop Town05 Long score (bc4 regressed
+    # to DS 7.6 — runs/expert_bc4_town05_long.json)
+    for run_name in ("roach_bc3", "roach_bc4", "roach_bc", "roach_town05_v2",
                      "roach_town05", "roach_ppo"):
         ckpt = os.path.join(REPO, "runs", run_name, "ckpt")
         if os.path.isdir(ckpt):

@@ -28,7 +28,7 @@ from thinktwice_tpu.jaxenv import setup as _jax_setup
 _jax_setup()
 
 from thinktwice_tpu.agents.roach import RoachPolicy
-from thinktwice_tpu.config import Config, SimConfig
+from thinktwice_tpu.config import Config, SimConfig, TrainConfig
 from thinktwice_tpu.harness.evaluator import (
     build_route_scenarios,
     derive_map_triggers,
@@ -79,6 +79,10 @@ def main():
     ap.add_argument("--out", default="runs/student_town05")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--eval-every", type=int, default=250)
+    ap.add_argument("--grad-accum", type=int, default=7,
+                    help="microbatches per step (must divide the batch "
+                         "worlds*(frames_per_chunk-pred_len-(sweeps-1))); "
+                         "bounds activation HBM to one microbatch")
     args = ap.parse_args()
 
     bank, polys = load_routes()
@@ -103,7 +107,8 @@ def main():
             max_stop_signs=32,
             max_route_len=MAX_ROUTE_LEN,
             max_scenarios=4,
-        )
+        ),
+        train=TrainConfig(grad_accum=args.grad_accum),
     )
 
     # adversarial-scenario bank per route (the reference's collection runs

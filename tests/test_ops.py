@@ -94,7 +94,7 @@ def test_ms_deform_attn_uniform_weights():
     scaled by summed weights."""
     B, Q, h, d = 1, 2, 2, 4
     H = W = 4
-    value = jnp.ones((B, H * W, h, d))
+    value = jnp.ones((B, H * W, h * d))
     locs = jnp.full((B, Q, h, 1, 3, 2), 0.5)  # center, 3 points
     weights = jnp.full((B, Q, h, 1, 3), 1.0 / 3.0)
     out = ms_deform_attn(value, [(H, W)], locs, weights)
@@ -104,8 +104,53 @@ def test_ms_deform_attn_uniform_weights():
 
 def test_ms_deform_attn_out_of_bounds_zero():
     B, Q, h, d = 1, 1, 1, 2
-    value = jnp.ones((B, 4, h, d))
+    value = jnp.ones((B, 4, h * d))
     locs = jnp.full((B, Q, h, 1, 1, 2), 5.0)  # far outside
     weights = jnp.ones((B, Q, h, 1, 1))
     out = ms_deform_attn(value, [(2, 2)], locs, weights)
     np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_ms_deform_attn_matches_per_head_reference():
+    """The channel-fused TPU layout must be numerically identical to the
+    CUDA kernel's per-head semantics (multi_scale_deformable_attn_pytorch):
+    head h samples at its own locations and owns channel block h."""
+    rng = np.random.default_rng(0)
+    B, Q, h, d, P = 2, 5, 4, 8, 3
+    shapes = [(6, 9), (3, 4)]
+    sum_hw = sum(H * W for H, W in shapes)
+    value = jnp.asarray(rng.normal(size=(B, sum_hw, h * d)), jnp.float32)
+    locs = jnp.asarray(rng.uniform(-0.1, 1.1, (B, Q, h, 2, P, 2)), jnp.float32)
+    weights = jax.nn.softmax(
+        jnp.asarray(rng.normal(size=(B, Q, h, 2 * P)), jnp.float32), axis=-1
+    ).reshape(B, Q, h, 2, P)
+    out = ms_deform_attn(value, shapes, locs, weights)
+
+    # reference: per-head bilinear grid-sample with zero padding
+    ref = np.zeros((B, Q, h, d), np.float32)
+    v_np = np.asarray(value).reshape(B, sum_hw, h, d)
+    offs = [0, shapes[0][0] * shapes[0][1]]
+    for lvl, (H, W) in enumerate(shapes):
+        vl = v_np[:, offs[lvl] : offs[lvl] + H * W].reshape(B, H, W, h, d)
+        for b in range(B):
+            for q in range(Q):
+                for hh in range(h):
+                    for p in range(P):
+                        x = float(locs[b, q, hh, lvl, p, 0]) * W - 0.5
+                        y = float(locs[b, q, hh, lvl, p, 1]) * H - 0.5
+                        x0, y0 = int(np.floor(x)), int(np.floor(y))
+                        fx, fy = x - x0, y - y0
+                        acc = np.zeros(d, np.float32)
+                        for dx, dy, wgt in [
+                            (0, 0, (1 - fx) * (1 - fy)),
+                            (1, 0, fx * (1 - fy)),
+                            (0, 1, (1 - fx) * fy),
+                            (1, 1, fx * fy),
+                        ]:
+                            xi, yi = x0 + dx, y0 + dy
+                            if 0 <= xi < W and 0 <= yi < H:
+                                acc += wgt * vl[b, yi, xi, hh]
+                        ref[b, q, hh] += float(weights[b, q, hh, lvl, p]) * acc
+    np.testing.assert_allclose(
+        np.asarray(out), ref.reshape(B, Q, h * d), rtol=2e-5, atol=2e-5
+    )

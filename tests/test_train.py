@@ -95,3 +95,27 @@ def test_checkpoint_roundtrip(tmp_path):
     restored = restore_train_state(str(tmp_path / "ckpt"), template)
     assert int(restored.step) == 7
     np.testing.assert_allclose(np.asarray(restored.params["w"]), 3.14)
+
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum=K must produce the same update as one full-batch step
+    (mean-of-chunk-grads == full-batch grad for a mean loss)."""
+    cfg1 = Config(train=TrainConfig(lr=0.05, warmup_steps=1, total_steps=100))
+    cfgK = Config(train=TrainConfig(lr=0.05, warmup_steps=1, total_steps=100,
+                                    grad_accum=4))
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(32, 4), jnp.float32)
+    y = jnp.asarray(rng.randn(32, 2), jnp.float32)
+    batch = {"x": x, "y": y}
+    s1 = make_state(cfg1)
+    sK = make_state(cfgK)
+    step1 = make_train_step(cfg1, tiny_loss)
+    stepK = make_train_step(cfgK, tiny_loss)
+    for _ in range(3):
+        s1, m1 = step1(s1, batch)
+        sK, mK = stepK(sK, batch)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["w"]), np.asarray(sK.params["w"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(mK["loss"]), rtol=1e-5)

@@ -168,6 +168,10 @@ class TrainConfig:
     batch_size: int = 8              # per device (docs/TRAIN.md batch 8/GPU)
     grad_clip: float = 35.0          # mmcv optimizer_config grad_clip
     seed: int = 0
+    grad_accum: int = 1              # microbatches per optimizer step: the
+    # batch splits into grad_accum chunks scanned sequentially, bounding
+    # activation HBM to one chunk (lax.scan serializes by construction —
+    # robust to XLA scheduler regressions, unlike remat hints)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -156,7 +156,7 @@ class MSDeformAttn(nn.Module):
     @nn.compact
     def __call__(self, query, ref_points, value, spatial_shapes):
         """query (B, Q, dim); ref_points (B, Q, 2) in [0,1]; value
-        (B, sum HW, heads, dim/heads) -> (B, Q, dim)."""
+        (B, sum HW, dim) channel-fused -> (B, Q, dim)."""
         B, Q, _ = query.shape
         h, l, p = self.n_heads, self.n_levels, self.n_points
         offsets = nn.Dense(h * l * p * 2, name="sampling_offsets")(query)
@@ -187,7 +187,7 @@ class SpatialCrossAttention(nn.Module):
     def __call__(self, queries, ref_cam, valid, value_cams, spatial_shapes):
         """queries (B, N, Q, Dq) per-cam (already includes sampled feats);
         ref_cam (B, N, Q, 2); valid (B, N, Q); value_cams
-        (N, B, sumHW, heads, hd)."""
+        (N, B, sumHW, dim) channel-fused."""
         B, N, Q, _ = queries.shape
         q = nn.Dense(self.dim, name="query_proj")(queries)
 

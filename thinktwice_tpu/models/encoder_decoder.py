@@ -123,10 +123,10 @@ class ThinkTwiceModel(nn.Module):
             fv = fv + cam_embeds[None, :, None, :] + level_embeds[None, None, None, lvl]
             flat_vals.append(fv)
         value = jnp.concatenate(flat_vals, axis=2)             # (B, N, sumHW, 256)
-        heads = m.n_attn_heads
-        value_cams = jnp.moveaxis(value, 1, 0).reshape(
-            N, B, value.shape[2], heads, 256 // heads
-        )
+        # channel-fused layout (heads split inside ms_deform_attn): a
+        # trailing head_dim=32 axis pads 4x under TPU T(8,128) tiling and
+        # blew HBM on the training batch (see ops/deform_attn.py)
+        value_cams = jnp.moveaxis(value, 1, 0)                 # (N, B, sumHW, 256)
         fpn_value = {"maps": maps, "flat": value_cams}
 
         outs = ThinkTwiceDecoder(m, self.use_lidar_look, name="decoder")(

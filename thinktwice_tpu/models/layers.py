@@ -10,14 +10,19 @@ tracks BN closely).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 
 class ConvGN(nn.Module):
-    """Conv -> GroupNorm -> optional ReLU."""
+    """Conv -> GroupNorm -> optional ReLU.
+
+    dtype: compute dtype (flax semantics — params stay f32, inputs/compute
+    cast to dtype). The heavy trunks pass bfloat16: halves activation HBM
+    and runs the MXU in its native dtype. The default None promotes with
+    the f32 params, i.e. f32 compute."""
 
     features: int
     kernel: int = 3
@@ -25,6 +30,7 @@ class ConvGN(nn.Module):
     act: bool = True
     groups: int = 16
     padding: str | int = "SAME"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -32,8 +38,10 @@ class ConvGN(nn.Module):
         x = nn.Conv(
             self.features, (self.kernel, self.kernel),
             strides=(self.stride, self.stride), padding=pad, use_bias=False,
+            dtype=self.dtype,
         )(x)
-        x = nn.GroupNorm(num_groups=min(self.groups, self.features))(x)
+        x = nn.GroupNorm(num_groups=min(self.groups, self.features),
+                         dtype=self.dtype)(x)
         if self.act:
             x = nn.relu(x)
         return x

@@ -64,23 +64,27 @@ class LidarNet(nn.Module):
     def __call__(self, points, mask):
         pillars = jax.vmap(lambda p, m: pillarize(p, m, self.cfg))(points, mask)
 
-        x = ConvGN(32)(pillars)            # grid (336 default)
-        x = ConvGN(64, stride=2)(x)        # grid/2
-        x = ConvGN(64)(x)
-        x = ConvGN(128, stride=2)(x)       # grid/4 (84 default)
+        # bf16 conv trunk (same rationale as the camera trunk, lss.py);
+        # output cast back to f32 below for the fusion/decoder path
+        pillars = pillars.astype(jnp.bfloat16)
+        bf16 = jnp.bfloat16
+        x = ConvGN(32, dtype=bf16)(pillars)            # grid (336 default)
+        x = ConvGN(64, stride=2, dtype=bf16)(x)        # grid/2
+        x = ConvGN(64, dtype=bf16)(x)
+        x = ConvGN(128, stride=2, dtype=bf16)(x)       # grid/4 (84 default)
         # SECOND-style blocks at stride 1 and 2
         a = x
         for _ in range(3):
-            a = ConvGN(128)(a)
-        b = ConvGN(256, stride=2)(a)       # grid/8
+            a = ConvGN(128, dtype=bf16)(a)
+        b = ConvGN(256, stride=2, dtype=bf16)(a)       # grid/8
         for _ in range(3):
-            b = ConvGN(256)(b)
+            b = ConvGN(256, dtype=bf16)(b)
         # SECONDFPN: upsample b, concat -> 512 channels
         b_up = jax.image.resize(
             b, (b.shape[0], a.shape[1], a.shape[2], b.shape[-1]), "nearest"
         )
-        b_up = ConvGN(256, kernel=1)(b_up)
-        a = ConvGN(256, kernel=1)(a)
+        b_up = ConvGN(256, kernel=1, dtype=bf16)(b_up)
+        a = ConvGN(256, kernel=1, dtype=bf16)(a)
         out = jnp.concatenate([a, b_up], axis=-1)    # (B, grid/4, grid/4, 512)
         # the fusion convs expect the high-res lidar BEV at 4x the model BEV
         # grid (84 for 21; encoder_decoder conv_lidar downsamples 84->42->21)
@@ -89,4 +93,4 @@ class LidarNet(nn.Module):
             out = jax.image.resize(
                 out, (out.shape[0], hr, hr, out.shape[-1]), "nearest"
             )
-        return out
+        return out.astype(jnp.float32)

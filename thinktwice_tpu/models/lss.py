@@ -23,7 +23,7 @@ reference (:689-723): history sweeps run under stop_gradient and merge via a
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -41,22 +41,24 @@ class ASPP(nn.Module):
     """Atrous pyramid (lss.py ASPP) with dilations 1/2/3 + global pooling."""
 
     features: int = 256
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        branches = [nn.Conv(self.features, (1, 1))(x)]
+        conv = lambda *a, **kw: nn.Conv(*a, dtype=self.dtype, **kw)
+        branches = [conv(self.features, (1, 1))(x)]
         for rate in (2, 3):
             branches.append(
-                nn.Conv(
+                conv(
                     self.features, (3, 3), kernel_dilation=(rate, rate),
                     padding="SAME",
                 )(x)
             )
         gp = jnp.mean(x, axis=(1, 2), keepdims=True)
-        gp = nn.Conv(self.features, (1, 1))(gp)
+        gp = conv(self.features, (1, 1))(gp)
         branches.append(jnp.broadcast_to(gp, branches[0].shape))
         h = jnp.concatenate(branches, axis=-1)
-        return nn.relu(nn.Conv(self.features, (1, 1))(h))
+        return nn.relu(conv(self.features, (1, 1))(h))
 
 
 class DepthNet(nn.Module):
@@ -66,27 +68,28 @@ class DepthNet(nn.Module):
     n_depth_bins: int
     context_channels: int
     mid_channels: int = 256
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, cam_params):
         """x (B*N, h, w, Cin); cam_params (B*N, P) flattened intrinsics +
         extrinsics (+ida when augmenting)."""
-        x = ConvGN(self.mid_channels)(x)
+        x = ConvGN(self.mid_channels, dtype=self.dtype)(x)
 
         # camera-aware SE: MLP(cam params) -> per-channel scale
-        se = nn.relu(nn.Dense(self.mid_channels)(cam_params))
-        se = nn.sigmoid(nn.Dense(self.mid_channels)(se))
+        se = nn.relu(nn.Dense(self.mid_channels, dtype=self.dtype)(cam_params))
+        se = nn.sigmoid(nn.Dense(self.mid_channels, dtype=self.dtype)(se))
         x = x * se[:, None, None, :]
 
-        context = nn.Conv(self.context_channels, (1, 1))(x)
+        context = nn.Conv(self.context_channels, (1, 1), dtype=self.dtype)(x)
 
         d = x
         for _ in range(3):  # 3 x BasicBlock
-            h = ConvGN(self.mid_channels)(d)
-            h = ConvGN(self.mid_channels, act=False)(h)
+            h = ConvGN(self.mid_channels, dtype=self.dtype)(d)
+            h = ConvGN(self.mid_channels, act=False, dtype=self.dtype)(h)
             d = nn.relu(d + h)
-        d = ASPP(self.mid_channels)(d)
-        depth = nn.Conv(self.n_depth_bins, (1, 1))(d)
+        d = ASPP(self.mid_channels, dtype=self.dtype)(d)
+        depth = nn.Conv(self.n_depth_bins, (1, 1), dtype=self.dtype)(d)
         return depth, context
 
 
@@ -96,6 +99,7 @@ class SegHead(nn.Module):
     GT to match either way, encoder_decoder_framework.py:485-491)."""
 
     n_classes: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, fpn_feats):
@@ -103,9 +107,9 @@ class SegHead(nn.Module):
         for skip in fpn_feats[-2::-1]:
             b, h, w, c = skip.shape
             x = jax.image.resize(x, (b, h, w, x.shape[-1]), "nearest")
-            x = ConvGN(256)(jnp.concatenate([x, skip], axis=-1))
-        seg = nn.Conv(self.n_classes, (1, 1))(x)
-        feat = ConvGN(64)(x)  # reinjection features
+            x = ConvGN(256, dtype=self.dtype)(jnp.concatenate([x, skip], axis=-1))
+        seg = nn.Conv(self.n_classes, (1, 1), dtype=self.dtype)(x)
+        feat = ConvGN(64, dtype=self.dtype)(x)  # reinjection features
         return seg, feat
 
 
@@ -158,22 +162,28 @@ class LSS(nn.Module):
         transforms (train.augment.ida_augment)."""
         m = self.cfg
         B, N, H, W, _ = imgs.shape
-        x = imgs.reshape(B * N, H, W, 3)
+        # bf16 trunk: the conv stacks (backbone/neck/seg/depth) carry the
+        # bulk of training activations — half-precision halves that HBM and
+        # feeds the MXU its native dtype; geometry, softmax-pooling and all
+        # losses stay f32 (GroupNorm accumulates f32 internally)
+        x = imgs.reshape(B * N, H, W, 3).astype(jnp.bfloat16)
 
-        # remat: the image backbone holds the bulk of training activations
-        # (8 cams x ResNet pyramids); recompute them in the backward pass
-        # (jax.checkpoint) — the standard TPU memory/FLOPs trade. Cuts peak
-        # HBM several-fold at the flagship config.
-        feats = nn.remat(ResNet)(self.backbone_depth, name="backbone")(x)
-        fpn = nn.remat(PAFPN)(256, name="neck")(feats)  # strides 4, 8, 16, 32
+        # the backbone remats per residual block internally (see
+        # models/resnet.py) — the standard TPU memory/FLOPs trade with a
+        # bounded backward peak
+        bf16 = jnp.bfloat16
+        feats = ResNet(self.backbone_depth, dtype=bf16, name="backbone")(x)
+        fpn = nn.remat(PAFPN)(256, dtype=bf16, name="neck")(feats)
 
-        seg, seg_feat = nn.remat(SegHead)(m.n_seg_classes, name="seg_head")(fpn)
+        seg, seg_feat = nn.remat(SegHead)(
+            m.n_seg_classes, dtype=bf16, name="seg_head"
+        )(fpn)
 
         # seg -> feature reinjection at stride 16 (lss.py:407-439,587-591)
         f16 = fpn[2]
         h, w = f16.shape[1], f16.shape[2]
         seg_ds = nn.avg_pool(seg_feat, (4, 4), strides=(4, 4))
-        f16 = f16 + nn.Conv(256, (1, 1), name="seg_reinject")(seg_ds)
+        f16 = f16 + nn.Conv(256, (1, 1), dtype=bf16, name="seg_reinject")(seg_ds)
 
         # camera-param conditioning incl. the 6 ida affine entries
         # (lss.py:209-232 — intrin + ida[0,0],[0,1],[0,3],[1,0],[1,1],[1,3]
@@ -199,9 +209,11 @@ class LSS(nn.Module):
             axis=-1,
         )
         depth_logits, context = DepthNet(
-            m.n_depth_bins, m.bev_channels, name="depth_net"
+            m.n_depth_bins, m.bev_channels, dtype=bf16, name="depth_net"
         )(f16, cam_params)
 
+        depth_logits = depth_logits.astype(jnp.float32)
+        context = context.astype(jnp.float32)
         depth_prob = jax.nn.softmax(depth_logits, axis=-1)    # (B*N, h, w, D)
 
         frustum = make_frustum(m, h, w)
@@ -255,9 +267,9 @@ class LSS(nn.Module):
 
         return {
             "bev": bev,
-            "fpn_feats": fpn,
+            "fpn_feats": [f.astype(jnp.float32) for f in fpn],
             "depth": depth_logits,
-            "seg": seg,
+            "seg": seg.astype(jnp.float32),
         }
 
 

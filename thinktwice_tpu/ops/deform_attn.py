@@ -8,6 +8,16 @@ grid-sample + weighted sum — which is what XLA compiles well: the bilinear
 taps become vectorized gathers, the weighted reduction fuses, and autodiff
 provides the backward. Query counts here are tiny (<= a few hundred per
 sample), so this is bandwidth-trivial next to the conv stacks.
+
+TPU layout note: `value` is taken CHANNEL-FUSED as (B, sum HW, C) rather
+than the CUDA kernel's (B, sum HW, n_heads, C/n_heads). TPU tiling is
+T(8, 128) on the two minor axes, so a trailing head_dim of 32 pads 4x —
+at training batch sizes the value tensor (and every remat copy and gradient
+of it XLA keeps for the 5 refine layers x 4 cams x 2 decoder passes) blew
+a 15.75G HBM budget at 57G. With C=256 minor the tensor tiles exactly.
+Heads still sample at their own locations; each gather pulls the full C
+channels (Q is tiny, so the 8x gather amplification is noise) and a masked
+head-mixing reduction keeps only each head's own channel block.
 """
 
 from __future__ import annotations
@@ -19,17 +29,17 @@ import jax.numpy as jnp
 
 
 def ms_deform_attn(
-    value: jax.Array,                 # (B, sum_l H_l*W_l, n_heads, head_dim)
+    value: jax.Array,                 # (B, sum_l H_l*W_l, C) channel-fused
     spatial_shapes: Sequence[tuple[int, int]],  # [(H_l, W_l)] static
     sampling_locations: jax.Array,    # (B, Q, n_heads, n_levels, n_points, 2) in [0,1]
     attention_weights: jax.Array,     # (B, Q, n_heads, n_levels, n_points)
 ) -> jax.Array:
-    """-> (B, Q, n_heads * head_dim). Semantics of
-    mmcv.ops.multi_scale_deform_attn (align_corners=False grid_sample,
-    zero padding)."""
-    B, _, n_heads, head_dim = value.shape
-    Q = sampling_locations.shape[1]
-    n_levels = len(spatial_shapes)
+    """-> (B, Q, C). Semantics of mmcv.ops.multi_scale_deform_attn
+    (align_corners=False grid_sample, zero padding): head h attends at its
+    own locations and contributes channels [h*C/H, (h+1)*C/H)."""
+    B, _, C = value.shape
+    Q, n_heads = sampling_locations.shape[1], sampling_locations.shape[2]
+    head_dim = C // n_heads
 
     # split the flattened value into per-level feature maps
     sizes = [h * w for h, w in spatial_shapes]
@@ -37,10 +47,15 @@ def ms_deform_attn(
     for s in sizes:
         offsets.append(offsets[-1] + s)
 
-    out = jnp.zeros((B, Q, n_heads, head_dim), value.dtype)
+    # head h keeps its own channel block after the full-channel gather
+    head_mask = jnp.repeat(
+        jnp.eye(n_heads, dtype=value.dtype), head_dim, axis=1
+    )                                                           # (h, C)
+
+    out = jnp.zeros((B, Q, C), value.dtype)
     for lvl, (H, W) in enumerate(spatial_shapes):
-        v = value[:, offsets[lvl] : offsets[lvl + 1]]           # (B, HW, h, d)
-        v = v.reshape(B, H, W, n_heads, head_dim)
+        v = value[:, offsets[lvl] : offsets[lvl + 1]]           # (B, HW, C)
+        v = v.reshape(B, H, W, C)
 
         loc = sampling_locations[:, :, :, lvl]                  # (B, Q, h, P, 2)
         # normalized [0,1] -> pixel coords, align_corners=False convention
@@ -54,10 +69,9 @@ def ms_deform_attn(
             inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
             xi_c = jnp.clip(xi, 0, W - 1)
             yi_c = jnp.clip(yi, 0, H - 1)
-            # gather per batch & head: v (B, H, W, h, d), idx (B, Q, h, P)
+            # gather full channels per (batch, query, head, point) location
             b_idx = jnp.arange(B)[:, None, None, None]
-            h_idx = jnp.arange(v.shape[3])[None, None, :, None]
-            g = v[b_idx, yi_c, xi_c, h_idx]                     # (B, Q, h, P, d)
+            g = v[b_idx, yi_c, xi_c]                            # (B, Q, h, P, C)
             return jnp.where(inb[..., None], g, 0.0)
 
         sampled = (
@@ -65,8 +79,9 @@ def ms_deform_attn(
             + tap(x0 + 1, y0) * (fx * (1 - fy))[..., None]
             + tap(x0, y0 + 1) * ((1 - fx) * fy)[..., None]
             + tap(x0 + 1, y0 + 1) * (fx * fy)[..., None]
-        )                                                        # (B, Q, h, P, d)
+        )                                                        # (B, Q, h, P, C)
         w = attention_weights[:, :, :, lvl, :, None]             # (B, Q, h, P, 1)
-        out = out + jnp.sum(sampled * w, axis=3)
+        per_head = jnp.sum(sampled * w, axis=3)                  # (B, Q, h, C)
+        out = out + jnp.einsum("bqhc,hc->bqc", per_head, head_mask)
 
-    return out.reshape(B, Q, n_heads * head_dim)
+    return out

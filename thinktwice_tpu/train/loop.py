@@ -45,15 +45,13 @@ def model_loss_fn(cfg: Config, model: ThinkTwiceModel):
     K = jnp.asarray(rig_lib.intrinsics(cfg.camera))
     e2i = jnp.asarray(rig_lib.ego_to_img(cfg.camera))
 
-    # whole-model remat: the backward pass recomputes the forward instead of
-    # keeping every activation live — the full train step (ResNet50 x 4 cams,
-    # cascaded decoder + teacher pass, all distillation losses) needs ~20 GB
-    # of retained activations otherwise, over the 15.75 GB HBM of one v5e
-    # chip; the recompute costs ~1/3 more FLOPs and fits comfortably
-    apply_remat = jax.checkpoint(model.apply)
+    # remat lives INSIDE the model at structural boundaries (per ResNet
+    # block, per decoder refine layer — see models/resnet.py, decoder.py).
+    # A whole-model jax.checkpoint on top of those nested remats made the
+    # XLA scheduler retain 57-91 GB of temps on the 15.75 GB chip.
 
     def loss_fn(params, batch):
-        outs = apply_remat(
+        outs = model.apply(
             params,
             batch["imgs"], batch["points"], batch["points_mask"],
             batch["speed"], batch["target_point"], batch["command"],
@@ -232,8 +230,13 @@ def train(
     logf = open(log_path, "a") if log_path else None
     aug_rng = jax.random.key(cfg.train.seed + 1)
     t0 = time.time()
+    collect_s = grad_s = 0.0
     for i in range(n_steps):
+        tc = time.time()
         batch = next(batches)
+        jax.block_until_ready(batch["imgs"])
+        collect_s += time.time() - tc
+        tg = time.time()
         if augment_mirror:
             aug_rng, sub = jax.random.split(aug_rng)
             from thinktwice_tpu.train.augment import maybe_mirror
@@ -245,6 +248,8 @@ def train(
 
             batch = ida_augment(sub, batch)
         state, metrics = step_fn(state, batch)
+        jax.block_until_ready(metrics["loss"])
+        grad_s += time.time() - tg
         if (i + 1) % log_every == 0 or i == 0:
             host = {
                 k: round(float(v), 5)
@@ -252,6 +257,8 @@ def train(
             }
             host["step"] = int(state.step)
             host["wall_s"] = round(time.time() - t0, 1)
+            host["collect_s"] = round(collect_s, 1)
+            host["grad_s"] = round(grad_s, 1)
             line = json.dumps(host)
             print(line, flush=True)
             if logf:

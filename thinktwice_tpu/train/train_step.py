@@ -90,11 +90,41 @@ def make_train_step(
     all-reduce automatically."""
     tx = make_optimizer(cfg)
 
+    K = cfg.train.grad_accum
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
     @jax.jit
     def step(state: TrainState, batch):
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch
-        )
+        if K <= 1:
+            (loss, metrics), grads = grad_fn(state.params, batch)
+        else:
+            # microbatch accumulation: (B, ...) -> (K, B/K, ...), scan the
+            # grad over chunks; peak activation memory = one chunk's
+            mbs = jax.tree.map(
+                lambda x: x.reshape((K, x.shape[0] // K) + x.shape[1:]),
+                batch,
+            )
+            mb0 = jax.tree.map(lambda x: x[0], mbs)
+            (_, m_shape), g_shape = jax.eval_shape(grad_fn, state.params, mb0)
+            zeros = lambda t: jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), t
+            )
+
+            def body(carry, mb):
+                gs, ls, ms = carry
+                (l, m), g = grad_fn(state.params, mb)
+                return (
+                    jax.tree.map(jnp.add, gs, g),
+                    ls + l,
+                    jax.tree.map(jnp.add, ms, m),
+                ), None
+
+            (gsum, lsum, msum), _ = jax.lax.scan(
+                body, (zeros(g_shape), jnp.zeros(()), zeros(m_shape)), mbs
+            )
+            grads = jax.tree.map(lambda x: x / K, gsum)
+            loss = lsum / K
+            metrics = jax.tree.map(lambda x: x / K, msum)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
