@@ -1,0 +1,180 @@
+"""Closed-loop Driving-Score evaluation on the Longest6 benchmark.
+
+The reference's second benchmark (leaderboard/data/routes_for_evaluation/
+routes_longest6.xml: 36 routes across Town01-06, 500 background vehicles,
+route_scenario.py:495-497) with the stop-sign penalty waived in scoring
+(statistics_manager.py:27-30 via BENCHMARK=longest6, here stop_penalty=1.0).
+
+Each town is imported from its reference H5 (maps/compile_h5.py) and its six
+routes run through the in-graph evaluator; all records accumulate into one
+results JSON whose global block covers all 36 routes. Scenario triggers are
+derived from the map (the upstream scenario JSONs are not committed — SURVEY
+§2.9 X4), same as eval_town05.py.
+
+Usage:
+  python scripts/eval_longest6.py --agent autopilot
+  python scripts/eval_longest6.py --agent expert --ckpt runs/roach_bc4/ckpt
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thinktwice_tpu.jaxenv import setup as _jax_setup
+
+_jax_setup()
+
+from thinktwice_tpu.config import Config, SimConfig
+from thinktwice_tpu.harness.evaluator import (
+    build_route_scenarios,
+    derive_map_triggers,
+    evaluate_routes,
+)
+from thinktwice_tpu.harness.route_parser import parse_routes_file
+from thinktwice_tpu.maps.cache import town05_cached
+from thinktwice_tpu.maps.router import raster_planner
+
+MAPS = "/root/reference/roach/obs_manager/birdview/maps"
+ROUTES = (
+    "/root/reference/leaderboard/data/routes_for_evaluation/"
+    "routes_longest6.xml"
+)
+BANK = "/root/reference/leaderboard/data/routes_for_open_loop_training"
+TOWNS = ["Town01", "Town02", "Town03", "Town04", "Town05", "Town06"]
+# longest route is 2842 m of sparse-waypoint length; A* densification adds
+# curvature, so pad well past it (the evaluator errors on truncation)
+MAX_ROUTE_LEN = 3584
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--agent", choices=["expert", "autopilot"],
+                    default="autopilot")
+    ap.add_argument("--ckpt", default="runs/roach_bc4/ckpt")
+    ap.add_argument("--vehicles", type=int, default=500)
+    ap.add_argument("--towns", default="",
+                    help="comma list (default: all six)")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--no-scenarios", action="store_true")
+    ap.add_argument("--worlds-per-batch", type=int, default=6)
+    ap.add_argument("--segment", type=int, default=256)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max-steps", type=int, default=None,
+                    help="cap sim ticks per route (smoke testing only)")
+    args = ap.parse_args()
+    out = args.out or f"runs/{args.agent}_longest6.json"
+    towns = args.towns.split(",") if args.towns else TOWNS
+
+    cfg = Config(
+        sim=SimConfig(
+            max_vehicles=args.vehicles + 8,   # +8 scenario actor slots
+            max_walkers=16,
+            max_lights=256,
+            max_stop_signs=32,
+            max_route_len=MAX_ROUTE_LEN,
+            max_scenarios=8,
+        )
+    )
+
+    if args.agent == "autopilot":
+        from thinktwice_tpu.agents.autopilot import autopilot_control
+
+        policy_fn = autopilot_control
+    else:
+        from thinktwice_tpu.agents.expert import expert_control
+        from thinktwice_tpu.agents.roach import RoachPolicy
+        from thinktwice_tpu.train import checkpoint as ckpt_lib
+
+        policy = RoachPolicy()
+        params = policy.init(
+            jax.random.key(0),
+            jnp.zeros((1, cfg.birdview.n_channels, 192, 192)),
+            jnp.zeros((1, cfg.roach.state_dim)),
+        )
+        params = ckpt_lib.restore_pytree(args.ckpt, params)
+        print(f"loaded expert from {args.ckpt}")
+
+        def policy_fn(cfg_, town_, state):
+            control, _ = expert_control(cfg, params, town_, state)
+            return control
+
+    all_specs = parse_routes_file(ROUTES)
+    town_outs = []
+    for town_name in towns:
+        specs = [s for s in all_specs if s.town == town_name]
+        if not specs:
+            continue
+        h5 = os.path.join(MAPS, f"{town_name}.h5")
+        bank_files = sorted(
+            glob.glob(os.path.join(BANK, f"routes_{town_name.lower()}_*.xml"))
+        )[:4]
+        town = town05_cached(h5, [ROUTES] + bank_files, max_lane_pts=49152,
+                             max_road_segs=8192, max_lane_segs=8192,
+                             strict=True)
+        planner = raster_planner(h5)
+        n_tl = int(np.asarray(town.tl_valid).sum())
+        print(f"{town_name}: {len(specs)} routes, {n_tl} lights", flush=True)
+
+        routes, ids, scens, weathers = [], [], [], []
+        for s in specs:
+            dense = s.dense(spacing=1.0, max_len=cfg.sim.max_route_len,
+                            planner=planner)
+            routes.append(dense)
+            ids.append(f"RouteScenario_{s.route_id}")
+            weathers.append(s.weather)
+            if args.no_scenarios:
+                scens.append(None)
+            else:
+                trig = derive_map_triggers(town, dense)
+                scens.append(build_route_scenarios(cfg, dense, trig))
+
+        # per-town ledger: the evaluator's resume matches on the per-call
+        # route index (0..5), so each town must keep its own file; merged
+        # below into one 36-route document
+        town_out = out.replace(".json", f"_{town_name}.json")
+        town_outs.append(town_out)
+        evaluate_routes(
+            cfg, town, routes, ids,
+            policy_fn=policy_fn,
+            n_vehicles=args.vehicles,
+            max_steps=args.max_steps,
+            worlds_per_batch=args.worlds_per_batch,
+            segment_steps=args.segment,
+            out_path=town_out,
+            resume=args.resume,
+            stop_penalty=1.0,    # longest6 waives the stop-sign penalty
+            scenarios=scens,
+            weathers=weathers,
+            seed=args.seed,
+            verbose=True,
+        )
+
+    from thinktwice_tpu.harness.result_writer import print_results
+    from thinktwice_tpu.harness.statistics import (
+        compute_global_statistics,
+        load_results,
+        save_results,
+    )
+
+    records = []
+    for p in town_outs:
+        records.extend(load_results(p)["_checkpoint"]["records"])
+    g = compute_global_statistics(records, total_routes=len(all_specs)
+                                  if not args.towns else None)
+    save_results(out, records, g)
+    print_results(load_results(out))
+    print(json.dumps(g["scores"], indent=2))
+    print(f"results -> {out}")
+
+
+if __name__ == "__main__":
+    main()
