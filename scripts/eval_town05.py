@@ -73,6 +73,11 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--sweeps", type=int, default=2,
                     help="student model n_sweeps (must match training)")
+    ap.add_argument("--policy-every", type=int, default=1,
+                    help="run the policy every k sim ticks with control "
+                         "hold (2 = the reference expert's 10 Hz cadence, "
+                         "roach_ap_agent_data_collection.py:462-465; cuts "
+                         "the student's per-tick model cost in half)")
     ap.add_argument("--backbone", type=int, default=50)
     args = ap.parse_args()
     out = args.out or f"runs/{args.agent}_town05_long.json"
@@ -188,7 +193,9 @@ def main():
         policy_params = mparams  # jit argument, not inlined constants
 
         def policy_init():
-            return driver_init(cfg, model.n_sweeps)
+            # keep the history sweep exactly 0.5 s old at any policy cadence
+            return driver_init(cfg, model.n_sweeps,
+                               hist_len=max(10 // args.policy_every, 1))
 
     g = evaluate_routes(
         cfg, town, routes, ids,
@@ -204,6 +211,7 @@ def main():
         weathers=weathers,
         seed=args.seed,
         verbose=True,
+        policy_every=args.policy_every,
     )
     from thinktwice_tpu.harness.result_writer import print_results
     from thinktwice_tpu.harness.statistics import load_results

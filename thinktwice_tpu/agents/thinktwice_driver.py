@@ -57,7 +57,14 @@ class DriverState:
     yaw_ring: tuple = ()                  # ((HIST,),)
 
 
-def driver_init(cfg: Optional[Config] = None, n_sweeps: int = 1) -> DriverState:
+def driver_init(
+    cfg: Optional[Config] = None, n_sweeps: int = 1,
+    hist_len: int = HIST_TICKS,
+) -> DriverState:
+    """`hist_len` = ring slots between the key frame and the history sweep,
+    in POLICY CALLS. At 20 Hz inference that is 10 (0.5 s); when the
+    evaluator runs the policy every k-th sim tick (policy_every=k), pass
+    10 // k so the history frame stays exactly 0.5 s old."""
     base = DriverState(agent=tw.agent_init(), tick=jnp.asarray(0, jnp.int32))
     if n_sweeps <= 1:
         return base
@@ -65,11 +72,11 @@ def driver_init(cfg: Optional[Config] = None, n_sweeps: int = 1) -> DriverState:
     P = lid.n_beams * lid.n_azimuth
     return dataclasses.replace(
         base,
-        rgb_ring=(jnp.zeros((HIST_TICKS, cam.n_cams, cam.height, cam.width, 3)),),
-        pts_ring=(jnp.zeros((HIST_TICKS, P, 4)),),
-        mask_ring=(jnp.zeros((HIST_TICKS, P), bool),),
-        pos_ring=(jnp.zeros((HIST_TICKS, 2)),),
-        yaw_ring=(jnp.zeros((HIST_TICKS,)),),
+        rgb_ring=(jnp.zeros((hist_len, cam.n_cams, cam.height, cam.width, 3)),),
+        pts_ring=(jnp.zeros((hist_len, P, 4)),),
+        mask_ring=(jnp.zeros((hist_len, P), bool),),
+        pos_ring=(jnp.zeros((hist_len, 2)),),
+        yaw_ring=(jnp.zeros((hist_len,)),),
     )
 
 
@@ -104,8 +111,9 @@ def make_thinktwice_driver(cfg: Config, model: ThinkTwiceModel, params=None):
         pos, yaw = state.ego.pos, state.ego.yaw
 
         if n_sweeps >= 2:
-            slot = jnp.mod(driver.tick, HIST_TICKS)
-            warm = driver.tick >= HIST_TICKS
+            ring_len = driver.rgb_ring[0].shape[0]
+            slot = jnp.mod(driver.tick, ring_len)
+            warm = driver.tick >= ring_len
             # the slot we are about to overwrite holds the frame from
             # exactly HIST_TICKS ticks ago; before warmup use the current one
             def pick(ring, now):

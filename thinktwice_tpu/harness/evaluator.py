@@ -150,6 +150,9 @@ def evaluate_routes(
     segment_steps: int = 1024,
     verbose: bool = False,
     weathers: Sequence | None = None,   # optional per-route (10,) params
+    policy_every: int = 1,  # run the policy every k sim ticks, holding the
+                            # control in between (10 Hz expert cadence = 2,
+                            # roach_ap_agent_data_collection.py:462-465)
 ) -> dict:
     """Run every route closed-loop; returns the global statistics record.
 
@@ -186,6 +189,12 @@ def evaluate_routes(
 
     pass_params = policy_params is not None
 
+    if segment_steps % policy_every:
+        raise ValueError(
+            f"segment_steps ({segment_steps}) must be a multiple of "
+            f"policy_every ({policy_every})"
+        )
+
     def run_segment(states, carries, pp):
         def one(st, pc):
             def body(carry, _):
@@ -199,11 +208,17 @@ def evaluate_routes(
                     ctrl = policy_fn(cfg, town, s, pp)
                 else:
                     ctrl = policy_fn(cfg, town, s)
+                # zero-order hold: the control applies for policy_every sim
+                # ticks (roach_ap_agent_data_collection.py:462-465 runs the
+                # reference expert every 2nd tick the same way). Criteria
+                # still tick every world step, so scoring is unaffected.
                 s2, _ = step_world(cfg, town, s, ctrl)
+                for _k in range(policy_every - 1):
+                    s2, _ = step_world(cfg, town, s2, ctrl)
                 return (s2, p), None
 
             (f, p), _ = jax.lax.scan(
-                body, (st, pc), None, length=segment_steps
+                body, (st, pc), None, length=segment_steps // policy_every
             )
             return f, p
 
