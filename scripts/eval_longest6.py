@@ -117,7 +117,8 @@ def main():
         bank_files = sorted(
             glob.glob(os.path.join(BANK, f"routes_{town_name.lower()}_*.xml"))
         )[:4]
-        town = town05_cached(h5, [ROUTES] + bank_files, max_lane_pts=49152,
+        town = town05_cached(h5, [ROUTES] + bank_files, town=town_name,
+                             max_lane_pts=49152,
                              max_road_segs=8192, max_lane_segs=8192,
                              strict=True)
         planner = raster_planner(h5)

@@ -45,12 +45,22 @@ def town05_cached(
     routes_files: list[str],
     n_bank_files: int = 4,
     max_bank_routes: int = 200,
+    town: str | None = None,
     **compile_kwargs,
 ) -> TownMap:
     """Compile (or load) a town keyed on the H5 file + route sources + args.
 
     routes_files: XML files whose routes seed the lane network (eval routes
     first, then training-bank files for town-wide NPC coverage).
+
+    town: when set, keep only routes declared for that town and cap the
+    bank (non-first-file) routes at max_bank_routes. Required for
+    multi-town route files (routes_longest6.xml spans Town01-06): without
+    the filter, foreign-town coordinates densified through this town's
+    raster planner produce garbage polylines — observed as 836 polylines
+    on Town01 from which junction detection derived ZERO traffic lights
+    (runs/autopilot_longest6_Town01.json ran unsignalized). town=None
+    keeps the historical behavior and cache keys.
     """
     sig = {
         "h5": h5_path,
@@ -61,6 +71,11 @@ def town05_cached(
         "kwargs": {k: str(v) for k, v in sorted(compile_kwargs.items())},
         "v": 13,  # bump to invalidate after compile_town or planner changes
     }
+    if town is not None:
+        sig["town"] = town   # only extend the key when the new path is used
+        sig["clsver"] = 2    # ratio-based junction classifier (compile_h5);
+                             # town=None keys stay stable so the Town05
+                             # bench/eval caches remain warm this round
     key = hashlib.sha1(json.dumps(sig, sort_keys=True).encode()).hexdigest()[:16]
     path = os.path.join(CACHE_DIR, f"town_{key}.npz")
     if os.path.exists(path):
@@ -72,9 +87,17 @@ def town05_cached(
 
     planner = raster_planner(h5_path)
     polylines = []
-    for f in routes_files:
+    n_bank = 0
+    for fi, f in enumerate(routes_files):
         for s in parse_routes_file(f):
+            if town is not None:
+                if s.town != town:
+                    continue
+                if fi > 0:
+                    if n_bank >= max_bank_routes:
+                        break
+                    n_bank += 1
             polylines.append(s.dense(spacing=2.0, planner=planner))
-    town = compile_town(h5_path, polylines[: len(polylines)], **compile_kwargs)
-    save_town(path, town)
-    return town
+    town_map = compile_town(h5_path, polylines, **compile_kwargs)
+    save_town(path, town_map)
+    return town_map

@@ -401,14 +401,27 @@ def compile_town(
             cover = np.zeros(int(groups.max()) + 1)
             for g, cv in cover_of.items():
                 cover[g] = cv
-            # measured on Town05: real 4-way crossings fill >=0.62 of an
-            # 18 m disc, T/side junctions ~0.55-0.62, and detections on mere
-            # road curves sit below 0.55 — those are artifacts of the
-            # route-crossing heuristic and are dropped entirely (round-1
-            # both missed lights and invented them; weak #9)
-            c = cover[groups]
-            minor = (c >= 0.55) & (c < 0.62)
-            keep = c >= 0.62
+            # Classify by coverage RELATIVE to the town's own road width:
+            # absolute thresholds tuned on Town05's wide multi-lane roads
+            # (0.55/0.62) dropped EVERY junction on narrow-road Town01/02
+            # (cov 0.35-0.48 there), which shipped those towns unsignalized.
+            # The baseline is the median coverage at plain route points (one
+            # road through the disc); a genuine crossing adds a second road.
+            # Measured ratios: curve artifacts <=1.17 (Town05) / <=1.17
+            # (Town01), real junctions >=1.34 (Town05) / >=1.45 (Town01).
+            base_samples = []
+            for p in route_polylines[:60]:
+                p = np.asarray(p)
+                if len(p) < 12:
+                    continue
+                for i in range(5, len(p) - 5, max((len(p) - 10) // 4, 1)):
+                    base_samples.append(
+                        _road_coverage(road, offset, ppm / ds, p[i][:2])
+                    )
+            base = float(np.median(base_samples)) if base_samples else 0.5
+            c = cover[groups] / max(base, 1e-3)
+            minor = (c >= 1.10) & (c < 1.30)
+            keep = c >= 1.30
             stop_pos = tl_pos[minor][:max_stops]
             stop_yaw = tl_yaw[minor][:max_stops]
             tl_stopline = tl_stopline[keep]
