@@ -53,6 +53,24 @@ TOWNS = ["Town01", "Town02", "Town03", "Town04", "Town05", "Town06"]
 # curvature, so pad well past it (the evaluator errors on truncation)
 MAX_ROUTE_LEN = 3584
 
+# The reference requests 500 background vehicles (route_scenario.py:495-497)
+# but CARLA's request_new_batch_actors spawns at map.get_spawn_points() and
+# silently drops every failed spawn — so the density that actually
+# materializes is capped by the town's hand-placed spawn-point count
+# (CARLA 0.9.10, the leaderboard's pinned version). Our spawn bank is lane
+# points every 8 m (maps/compile_h5.py:442) — far more than CARLA's — so
+# without this cap small towns end up several times denser than the
+# reference ever ran (Town02: 500 vs 101 = 5x), gridlocking every route
+# into timeouts.
+CARLA_SPAWN_POINTS = {
+    "Town01": 255,
+    "Town02": 101,
+    "Town03": 265,
+    "Town04": 372,
+    "Town05": 302,
+    "Town06": 436,
+}
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -123,7 +141,10 @@ def main():
                              strict=True)
         planner = raster_planner(h5)
         n_tl = int(np.asarray(town.tl_valid).sum())
-        print(f"{town_name}: {len(specs)} routes, {n_tl} lights", flush=True)
+        n_veh = min(args.vehicles,
+                    CARLA_SPAWN_POINTS.get(town_name, args.vehicles))
+        print(f"{town_name}: {len(specs)} routes, {n_tl} lights, "
+              f"{n_veh} vehicles (requested {args.vehicles})", flush=True)
 
         routes, ids, scens, weathers = [], [], [], []
         for s in specs:
@@ -146,7 +167,7 @@ def main():
         evaluate_routes(
             cfg, town, routes, ids,
             policy_fn=policy_fn,
-            n_vehicles=args.vehicles,
+            n_vehicles=n_veh,
             max_steps=args.max_steps,
             worlds_per_batch=args.worlds_per_batch,
             segment_steps=args.segment,

@@ -79,6 +79,7 @@ def main():
     ap.add_argument("--out", default="runs/student_town05")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--eval-every", type=int, default=250)
+    ap.add_argument("--ckpt-every", type=int, default=250)
     ap.add_argument("--grad-accum", type=int, default=7,
                     help="microbatches per step (must divide the batch "
                          "worlds*(frames_per_chunk-pred_len-(sweeps-1))); "
@@ -161,7 +162,7 @@ def main():
         augment_ida=True,
         val_batches_fn=val_batches_fn,
         eval_every=args.eval_every,
-        ckpt_every=250,
+        ckpt_every=args.ckpt_every,
     )
 
 
