@@ -155,6 +155,9 @@ def main():
             cfg = _dc.replace(cfg, roach=_dc.replace(
                 cfg.roach, states_neurons=sn))
             print(f"converted torch expert from {args.torch_ckpt}")
+        elif args.ckpt.endswith(".msgpack"):
+            params = ckpt_lib.restore_archive(args.ckpt, params)
+            print(f"loaded expert archive from {args.ckpt}")
         elif os.path.isdir(args.ckpt):
             params = ckpt_lib.restore_pytree(args.ckpt, params)
             print(f"loaded expert from {args.ckpt}")
@@ -180,11 +183,15 @@ def main():
         # restore through the same layout and keep the params
         from thinktwice_tpu.train.train_step import create_train_state
 
-        template = create_train_state(cfg, mparams)
-        mparams = ckpt_lib.restore_train_state(
-            os.path.abspath(args.ckpt), template
-        ).params
-        print(f"loaded student from {args.ckpt}")
+        if args.ckpt.endswith(".msgpack"):
+            mparams = ckpt_lib.restore_archive(args.ckpt, mparams)
+            print(f"loaded student archive from {args.ckpt}")
+        else:
+            template = create_train_state(cfg, mparams)
+            mparams = ckpt_lib.restore_train_state(
+                os.path.abspath(args.ckpt), template
+            ).params
+            print(f"loaded student from {args.ckpt}")
         drv_policy = make_thinktwice_driver(cfg, model, None)
 
         def policy_fn(cfg_, town_, state, carry, params):

@@ -127,7 +127,12 @@ def main():
             log.write(line + "\n")
             log.flush()
         if (it + 1) % 100 == 0 or it == args.iters - 1:
-            ckpt_lib.save_pytree(ckpt_dir, jax.device_get(params))
+            hp = jax.device_get(params)
+            ckpt_lib.save_pytree(ckpt_dir, hp)
+            # durable single-file snapshot (committable; the orbax
+            # dir is gitignored and does not survive a re-clone)
+            ckpt_lib.archive_params(
+                os.path.join(os.path.dirname(ckpt_dir), 'params.msgpack'), hp)
     log.close()
 
 

@@ -60,6 +60,46 @@ def restore_train_state(ckpt_dir: str, template: TrainState) -> TrainState:
     )
 
 
+def archive_params(path: str, params: Any, cast_floats=None):
+    """Single-file params-only snapshot (flax msgpack), small enough to
+    commit to git.
+
+    Orbax run checkpoints are gitignored (they carry optimizer state and
+    multiple steps), so they do not survive a fresh clone — this round lost
+    the trained roach_bc3/bc4 experts and the evaluated student that way.
+    Flagship weights get archived through here (bf16 by default: the models
+    train with a bf16 trunk, so the cast is lossless for inference) and the
+    .msgpack committed alongside the run's metrics.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import serialization
+
+    cast_floats = jnp.bfloat16 if cast_floats is None else cast_floats
+
+    def cast(x):
+        x = np.asarray(x)
+        if np.issubdtype(x.dtype, np.floating):
+            return x.astype(cast_floats)
+        return x
+
+    data = serialization.to_bytes(jax.tree.map(cast, params))
+    with open(os.path.abspath(path), "wb") as f:
+        f.write(data)
+
+
+def restore_archive(path: str, template: Any) -> Any:
+    """Load an archive_params file into the dtypes/structure of template."""
+    import numpy as np
+    from flax import serialization
+
+    with open(os.path.abspath(path), "rb") as f:
+        restored = serialization.from_bytes(template, f.read())
+    return jax.tree.map(
+        lambda r, t: np.asarray(r).astype(np.asarray(t).dtype), restored,
+        template)
+
+
 def save_pytree(path: str, tree: Any):
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.abspath(path), tree, force=True)
@@ -67,5 +107,7 @@ def save_pytree(path: str, tree: Any):
 
 
 def restore_pytree(path: str, template: Any) -> Any:
+    if path.endswith(".msgpack"):       # archive_params single-file snapshot
+        return restore_archive(path, template)
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path), template)

@@ -266,6 +266,11 @@ def train(
                 logf.flush()
         if ckpt_dir and (int(state.step) % ckpt_every == 0):
             ckpt_lib.save_train_state(ckpt_dir, state)
+            # durable params-only snapshot next to the gitignored orbax dir
+            # (bf16 msgpack, small enough to commit — see archive_params)
+            ckpt_lib.archive_params(
+                os.path.join(os.path.dirname(ckpt_dir), "params.msgpack"),
+                state.params)
         if val_batches_fn is not None and (int(state.step) % eval_every == 0):
             ev = make_eval_fn(cfg, model)(state.params, val_batches_fn())
             line = json.dumps({**ev, "step": int(state.step)})
@@ -275,6 +280,9 @@ def train(
                 logf.flush()
     if ckpt_dir:
         ckpt_lib.save_train_state(ckpt_dir, state)
+        ckpt_lib.archive_params(
+            os.path.join(os.path.dirname(ckpt_dir), "params.msgpack"),
+            state.params)
     if logf:
         logf.close()
     return state
