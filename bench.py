@@ -138,17 +138,23 @@ def main():
         jnp.zeros((1, cfg.roach.state_dim)),
     )
     # use the best trained expert when available so the benchmark exercises
-    # real driving behavior (traffic interactions, light stops); bc3 leads
-    # because it holds the best closed-loop Town05 Long score (bc4 regressed
-    # to DS 7.6 — runs/expert_bc4_town05_long.json)
-    for run_name in ("roach_bc3", "roach_bc4", "roach_bc", "roach_town05_v2",
-                     "roach_town05", "roach_ppo"):
-        ckpt = os.path.join(REPO, "runs", run_name, "ckpt")
-        if os.path.isdir(ckpt):
+    # real driving behavior (traffic interactions, light stops). Committed
+    # msgpack archives are preferred (they survive a re-clone — round 3's
+    # orbax-only checkpoints did not); live orbax dirs are the fallback for
+    # in-progress runs. Order = best closed-loop Town05 Long score first.
+    candidates = []
+    for run_name in ("roach_bc5", "roach_bc3", "roach_bc4", "roach_bc",
+                     "roach_town05_v2", "roach_town05", "roach_ppo"):
+        candidates.append(os.path.join(REPO, "runs", run_name,
+                                       "params.msgpack"))
+        candidates.append(os.path.join(REPO, "runs", run_name, "ckpt"))
+    for ckpt in candidates:
+        if os.path.exists(ckpt):
             try:
                 from thinktwice_tpu.train.checkpoint import restore_pytree
 
                 params = restore_pytree(ckpt, params)
+                print(f"bench expert weights: {ckpt}")
                 break
             except Exception:
                 pass  # random weights measure the same compute

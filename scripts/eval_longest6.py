@@ -62,6 +62,14 @@ MAX_ROUTE_LEN = 3584
 # without this cap small towns end up several times denser than the
 # reference ever ran (Town02: 500 vs 101 = 5x), gridlocking every route
 # into timeouts.
+#
+# Source of the per-town counts: CARLA 0.9.10 `map.get_spawn_points()`
+# lengths (the hand-placed spawn transforms baked into each town's
+# OpenDRIVE/UE4 map; not derivable from the H5 rasters in this repo, hence
+# hardcoded). Note these are an UPPER bound on realized reference density:
+# `request_new_batch_actors` additionally drops spawns whose collision
+# check fails (points near the ego/scenario actors), so the reference's
+# realized count is somewhat below the spawn-point count (ADVICE r3).
 CARLA_SPAWN_POINTS = {
     "Town01": 255,
     "Town02": 101,

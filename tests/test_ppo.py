@@ -112,3 +112,35 @@ def test_hazard_desired_speed(town):
         s = dataclasses.replace(st, ego=ego2,
                                 tick=jnp.asarray(round(t / 0.05), jnp.int32))
         assert float(ppo_lib.hazard_desired_speed(TINY, town, s)) == ppo_lib.DESIRED_SPEED
+
+
+def test_ppo_macro_cadence_and_anchor(town):
+    """policy_every=2 + frozen-anchor KL: one iterate runs, anchor_kl is
+    finite, and a huge anchor coefficient pins the params to the anchor
+    harder than a zero one (the fine-tune recipe's forgetting guard)."""
+    W = 2
+    routes = jnp.stack([straight_route(), straight_route()])
+    pcfg = PPOConfig(n_envs=W, n_steps=8, n_epochs=1, minibatch=8,
+                     policy_every=2, anchor_coef=0.1)
+    init_fn, _ = make_ppo(TINY, pcfg, town, routes)
+    anchor, _, _ = init_fn(jax.random.key(5))
+
+    def drift(coef):
+        cfg_i = PPOConfig(n_envs=W, n_steps=8, n_epochs=1, minibatch=8,
+                          policy_every=2, anchor_coef=coef)
+        init_i, it_i = make_ppo(TINY, cfg_i, town, routes,
+                                anchor_params=anchor)
+        _, opt_state, env_states = init_i(jax.random.key(5))
+        params = anchor
+        m = None
+        for k in range(2):
+            params, opt_state, env_states, m = it_i(
+                params, opt_state, env_states, jax.random.key(10 + k))
+        assert np.isfinite(float(m["pg_loss"]))
+        assert "anchor_kl" in m if coef > 0 else True
+        return float(
+            sum(np.abs(np.asarray(a) - np.asarray(b)).sum()
+                for a, b in zip(jax.tree.leaves(params),
+                                jax.tree.leaves(anchor))))
+
+    assert drift(1000.0) < drift(0.0)

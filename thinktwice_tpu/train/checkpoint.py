@@ -65,21 +65,27 @@ def archive_params(path: str, params: Any, cast_floats=None):
     commit to git.
 
     Orbax run checkpoints are gitignored (they carry optimizer state and
-    multiple steps), so they do not survive a fresh clone — this round lost
+    multiple steps), so they do not survive a fresh clone — round 3 lost
     the trained roach_bc3/bc4 experts and the evaluated student that way.
-    Flagship weights get archived through here (bf16 by default: the models
-    train with a bf16 trunk, so the cast is lossless for inference) and the
-    .msgpack committed alongside the run's metrics.
+    Flagship weights get archived through here and the .msgpack committed
+    alongside the run's metrics.
+
+    By default (`cast_floats=None`) every leaf keeps its stored dtype, so
+    the archive reproduces the evaluated weights bit-exactly (flax modules
+    with `dtype=bfloat16` compute in bf16 but still *store* f32 params;
+    casting those to bf16 — the old default — was lossy for every module
+    that computes in f32, e.g. the decoder heads). Pass an explicit dtype
+    (e.g. jnp.bfloat16) only when a smaller, knowingly-lossy archive is
+    wanted. Float detection covers extension dtypes (ml_dtypes bfloat16),
+    which `np.issubdtype` alone misses.
     """
     import jax.numpy as jnp
     import numpy as np
     from flax import serialization
 
-    cast_floats = jnp.bfloat16 if cast_floats is None else cast_floats
-
     def cast(x):
         x = np.asarray(x)
-        if np.issubdtype(x.dtype, np.floating):
+        if cast_floats is not None and jnp.issubdtype(x.dtype, jnp.floating):
             return x.astype(cast_floats)
         return x
 

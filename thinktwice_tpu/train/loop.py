@@ -224,7 +224,20 @@ def train(
             state = ckpt_lib.restore_train_state(ckpt_dir, state)
             print(f"resumed from step {int(state.step)}")
         except FileNotFoundError:
-            pass
+            # The orbax dir is gitignored; after a re-clone only the
+            # committed params.msgpack survives (ADVICE r3). Resume the
+            # params from it (fresh optimizer state) rather than silently
+            # restarting from scratch.
+            archive = os.path.join(os.path.dirname(ckpt_dir),
+                                   "params.msgpack")
+            if os.path.exists(archive):
+                params = ckpt_lib.restore_archive(archive, state.params)
+                state = create_train_state(cfg, params)
+                print(f"no orbax checkpoint in {ckpt_dir}; resumed params "
+                      f"from {archive} (fresh opt state)")
+            else:
+                print(f"no checkpoint in {ckpt_dir} and no params.msgpack "
+                      "archive; starting from scratch")
 
     step_fn = make_train_step(cfg, model_loss_fn(cfg, model))
     logf = open(log_path, "a") if log_path else None

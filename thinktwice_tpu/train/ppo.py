@@ -168,17 +168,45 @@ def compute_reward(prev: WorldState, new: WorldState, events,
 @dataclasses.dataclass
 class PPOConfig:
     n_envs: int = 16
-    n_steps: int = 128          # rollout length per env
+    n_steps: int = 128          # rollout length per env (macro steps)
     n_epochs: int = 4
     minibatch: int = 256
     lr: float = 1e-4
     seed: int = 0
     n_vehicles: int = 0         # background traffic per world
+    # ticks the sampled action is held per macro step. The reference expert
+    # acts every 2nd tick (10 Hz, roach_ap_agent:462-465) — fine-tuning at
+    # the deployment cadence keeps the rollout dynamics identical to eval.
+    policy_every: int = 1
+    # KL(anchor || current) penalty toward a frozen reference policy (the BC
+    # clone): PPO polish without forgetting the cloned turning behavior.
+    anchor_coef: float = 0.0
 
 
-def make_ppo(cfg: Config, ppo_cfg: PPOConfig, town: TownMap, routes):
+def _beta_kl(a_p, b_p, a_q, b_q):
+    """KL(Beta(a_p,b_p) || Beta(a_q,b_q)), summed over the action dims."""
+    gammaln, dg = jax.scipy.special.gammaln, jax.scipy.special.digamma
+
+    def lbeta(a, b):
+        return gammaln(a) + gammaln(b) - gammaln(a + b)
+
+    kl = (
+        lbeta(a_q, b_q) - lbeta(a_p, b_p)
+        + (a_p - a_q) * dg(a_p)
+        + (b_p - b_q) * dg(b_p)
+        + (a_q - a_p + b_q - b_p) * dg(a_p + b_p)
+    )
+    return jnp.sum(kl, axis=-1)
+
+
+def make_ppo(cfg: Config, ppo_cfg: PPOConfig, town: TownMap, routes,
+             scenarios=None, anchor_params=None):
     """routes: (NR, R, 3) route bank — every env reset samples a random route
-    from it (NR need not equal n_envs). Returns (init_fn, iterate_fn).
+    from it (NR need not equal n_envs). scenarios: optional stacked
+    ScenarioState with leading dim NR (one row per route, as in train/bc.py)
+    so rollouts contain the eval distribution's crossing walkers / junction
+    vehicles. anchor_params: optional frozen policy params for the
+    anchor_coef KL penalty. Returns (init_fn, iterate_fn).
 
     init_fn(rng) -> (params, opt_state, env_states)
     iterate_fn(params, opt_state, env_states, rng) ->
@@ -208,8 +236,11 @@ def make_ppo(cfg: Config, ppo_cfg: PPOConfig, town: TownMap, routes):
         # sample a route from the bank; fold the env id in so same-step
         # resets across envs draw different routes
         idx = jax.random.randint(jax.random.fold_in(rk, i), (), 0, NR)
+        scen = (None if scenarios is None
+                else jax.tree.map(lambda x: x[idx], scenarios))
         return reset_world(
-            cfg, town, routes[idx], rr, n_vehicles=ppo_cfg.n_vehicles
+            cfg, town, routes[idx], rr, n_vehicles=ppo_cfg.n_vehicles,
+            scenario=scen,
         )
 
     def maybe_reset(state, done, rng, env_idx):
@@ -243,32 +274,45 @@ def make_ppo(cfg: Config, ppo_cfg: PPOConfig, town: TownMap, routes):
             out = policy.apply(params, bv, sv)
             act, logp = _beta_sample_and_logp(rk, out["alpha"], out["beta"])
             ctrl = acc_to_control(act)
-            new_states, events = jax.vmap(
-                lambda s, c: step_world(cfg, town, s, c)
-            )(states, ctrl)
-            desired = jax.vmap(lambda s: hazard_desired_speed(cfg, town, s))(
-                states
-            )
-            rew, rcomps = jax.vmap(compute_reward)(
-                states, new_states, events, desired
-            )
-            rcomps["frac_hazard_stop"] = (desired == 0.0).astype(jnp.float32)
-            # terminal on infraction (carla-roach RL episodes end on any
-            # collision / red-light, not only on the leaderboard's
-            # blocked/deviation/timeout): sharp credit assignment, and the
-            # GAE bootstrap does not leak value across the reset
-            infraction = (
-                events.collision_vehicle
-                | events.collision_walker
-                | events.collision_static
-                | events.red_light
-            )
+            # hold the sampled action for policy_every ticks (the deployment
+            # cadence); rewards accumulate, event flags OR across the ticks
+            rew = jnp.zeros((W,))
+            rcomps = None
+            infraction = jnp.zeros((W,), bool)
+            desired = jnp.zeros((W,))
+            new_states = states
+            for _k in range(ppo_cfg.policy_every):
+                cur = new_states
+                new_states, events = jax.vmap(
+                    lambda s, c: step_world(cfg, town, s, c)
+                )(cur, ctrl)
+                desired = jax.vmap(
+                    lambda s: hazard_desired_speed(cfg, town, s)
+                )(cur)
+                r_k, rc_k = jax.vmap(compute_reward)(
+                    cur, new_states, events, desired
+                )
+                rew = rew + r_k
+                rcomps = rc_k if rcomps is None else jax.tree.map(
+                    jnp.add, rcomps, rc_k
+                )
+                # terminal on infraction (carla-roach RL episodes end on any
+                # collision / red-light, not only on the leaderboard's
+                # blocked/deviation/timeout): sharp credit assignment, and
+                # the GAE bootstrap does not leak value across the reset
+                infraction = infraction | (
+                    events.collision_vehicle
+                    | events.collision_walker
+                    | events.collision_static
+                    | events.red_light
+                )
             # training-only fast-blocked terminal: 30 s standstill WITHOUT a
             # hazard excuse (queues at reds / behind leads are legitimate and
             # the hazard-stop rewards them — penalty-free resets here would
             # make "park behind an NPC" a +r_speed exploit). Carries the
             # blocked penalty; the leaderboard's own 90 s criterion stays in
             # criteria for eval parity.
+            rcomps["frac_hazard_stop"] = (desired == 0.0).astype(jnp.float32)
             stuck = (new_states.criteria.blocked_s > 30.0) & (desired > 0.0)
             rew = rew - P_TERMINAL_BLOCKED * stuck.astype(jnp.float32)
             rcomps["p_blocked"] = (
@@ -290,6 +334,10 @@ def make_ppo(cfg: Config, ppo_cfg: PPOConfig, town: TownMap, routes):
                 "done": done,
                 "rcomps": rcomps,
             }
+            if anchor_params is not None:
+                aout = policy.apply(anchor_params, bv, sv)
+                traj["anchor_alpha"] = aout["alpha"]
+                traj["anchor_beta"] = aout["beta"]
             return (new_states, rng), traj
 
         (env_states, _), traj = jax.lax.scan(
@@ -300,12 +348,15 @@ def make_ppo(cfg: Config, ppo_cfg: PPOConfig, town: TownMap, routes):
         last_value = policy.apply(params, bv, sv)["value"][:, 0]
         return env_states, traj, last_value
 
+    # one macro step spans policy_every sim ticks — discount accordingly
+    g_eff = GAMMA ** ppo_cfg.policy_every
+
     def gae(traj, last_value):
         def scan_back(carry, t):
             adv_next, v_next = carry
             nonterm = 1.0 - t["done"].astype(jnp.float32)
-            delta = t["reward"] + GAMMA * v_next * nonterm - t["value"]
-            adv = delta + GAMMA * GAE_LAMBDA * nonterm * adv_next
+            delta = t["reward"] + g_eff * v_next * nonterm - t["value"]
+            adv = delta + g_eff * GAE_LAMBDA * nonterm * adv_next
             return (adv, t["value"]), adv
 
         (_, _), advs = jax.lax.scan(
@@ -331,9 +382,17 @@ def make_ppo(cfg: Config, ppo_cfg: PPOConfig, town: TownMap, routes):
         ent = jnp.mean(_beta_entropy(out["alpha"], out["beta"]))
         total = pg_loss + VF_COEF * v_loss - ENT_COEF * ent
         kl = jnp.mean(batch["logp"] - logp)
-        return total, {
+        aux = {
             "pg_loss": pg_loss, "v_loss": v_loss, "entropy": ent, "kl": kl,
         }
+        if anchor_params is not None and ppo_cfg.anchor_coef > 0.0:
+            akl = jnp.mean(_beta_kl(
+                batch["anchor_alpha"], batch["anchor_beta"],
+                out["alpha"], out["beta"],
+            ))
+            total = total + ppo_cfg.anchor_coef * akl
+            aux["anchor_kl"] = akl
+        return total, aux
 
     @jax.jit
     def update_fn(params, opt_state, flat, rng):
@@ -380,6 +439,9 @@ def make_ppo(cfg: Config, ppo_cfg: PPOConfig, town: TownMap, routes):
             "adv": advs.reshape(-1),
             "ret": rets.reshape(-1),
         }
+        if anchor_params is not None:
+            flat["anchor_alpha"] = traj["anchor_alpha"].reshape(-1, 2)
+            flat["anchor_beta"] = traj["anchor_beta"].reshape(-1, 2)
         params, opt_state, metrics = update_fn(params, opt_state, flat, r2)
         metrics = dict(metrics)
         metrics["mean_reward"] = traj["reward"].mean()
