@@ -84,6 +84,11 @@ def main():
                     help="microbatches per step (must divide the batch "
                          "worlds*(frames_per_chunk-pred_len-(sweeps-1))); "
                          "bounds activation HBM to one microbatch")
+    ap.add_argument("--reuse", type=int, default=1,
+                    help="optimizer steps per collected chunk (fresh "
+                         "mirror/IDA augmentation per use; amortizes the "
+                         "in-graph render like the reference's 60-epoch "
+                         "reuse of its fixed dataset)")
     args = ap.parse_args()
 
     bank, polys = load_routes()
@@ -163,6 +168,7 @@ def main():
         val_batches_fn=val_batches_fn,
         eval_every=args.eval_every,
         ckpt_every=args.ckpt_every,
+        reuse_batches=args.reuse,
     )
 
 

@@ -214,8 +214,16 @@ def train(
     eval_every: int = 500,
     augment_mirror: bool = False,
     augment_ida: bool = False,
+    reuse_batches: int = 1,
 ):
-    """Run n_steps of training over the batch stream. Returns TrainState."""
+    """Run n_steps of training over the batch stream. Returns TrainState.
+
+    reuse_batches > 1 runs that many optimizer steps per collected chunk
+    (fresh mirror/IDA augmentation each use). The in-graph collect is the
+    reference's entire dataloader+fleet stage; reusing each chunk a few
+    times mirrors the reference's epoch-style reuse of a fixed dataset
+    (60 epochs over 189K frames, docs/TRAIN.md:8) while amortizing the
+    render cost — round 3's 13.5 s/step was 5.3 s collect + 8.2 s grad."""
     if params is None:
         params = init_model_params(cfg, model, jax.random.key(cfg.train.seed))
     state = create_train_state(cfg, params)
@@ -244,10 +252,13 @@ def train(
     aug_rng = jax.random.key(cfg.train.seed + 1)
     t0 = time.time()
     collect_s = grad_s = 0.0
+    raw_batch = None
     for i in range(n_steps):
         tc = time.time()
-        batch = next(batches)
-        jax.block_until_ready(batch["imgs"])
+        if raw_batch is None or i % max(reuse_batches, 1) == 0:
+            raw_batch = next(batches)
+            jax.block_until_ready(raw_batch["imgs"])
+        batch = raw_batch
         collect_s += time.time() - tc
         tg = time.time()
         if augment_mirror:
