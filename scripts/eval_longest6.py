@@ -195,12 +195,21 @@ def main():
         save_results,
     )
 
+    # Merge EVERY town ledger that exists for this --out, not just the towns
+    # run in this invocation: a `--towns Town03` rerun must not overwrite the
+    # 36-route document with six routes (that is exactly how round 3's
+    # autopilot_longest6_v2.json ended up holding only Town03).
     records = []
-    for p in town_outs:
-        records.extend(load_results(p)["_checkpoint"]["records"])
-    g = compute_global_statistics(records, total_routes=len(all_specs)
-                                  if not args.towns else None)
+    merged_towns = []
+    for town_name in TOWNS:
+        p = out.replace(".json", f"_{town_name}.json")
+        if os.path.exists(p):
+            records.extend(load_results(p)["_checkpoint"]["records"])
+            merged_towns.append(town_name)
+    g = compute_global_statistics(records, total_routes=len(all_specs))
     save_results(out, records, g)
+    print(f"merged towns: {', '.join(merged_towns)} "
+          f"({len(records)}/{len(all_specs)} routes)")
     print_results(load_results(out))
     print(json.dumps(g["scores"], indent=2))
     print(f"results -> {out}")

@@ -251,8 +251,13 @@ def traffic_policy(
     wlk_pos,
     wlk_ext,
     wlk_active,
+    debug: bool = False,
 ):
-    """Compute (yaw_rate, accel, new_wp_idx) for all traffic vehicles."""
+    """Compute (yaw_rate, accel, new_wp_idx) for all traffic vehicles.
+
+    With debug=True additionally returns a dict of per-vehicle stop-cause
+    masks (red/gap/yield/hold) so fleet-throughput diagnostics can attribute
+    congestion (scripts/diag_longest6.py)."""
     V = veh_pos.shape[0]
 
     # --- steering: pure pursuit on the lane lookahead point ---
@@ -278,6 +283,7 @@ def traffic_policy(
                      all_active, self_mask, self_ext_x=veh_ext[:, 0])
 
     d_red = _red_light_dist(town, tl_states, veh_pos, veh_yaw)
+    gap_front = gap                                   # pre-red, for debug
     gap = jnp.minimum(gap, jnp.where(d_red < cfg.tl_stop_distance, d_red - 2.0, 1e4))
 
     # --- junction crossing arbitration ------------------------------------
@@ -386,4 +392,10 @@ def traffic_policy(
     loop_jump = (new_wp != veh_wp) & (
         jnp.linalg.norm(town.lane_pts[new_wp] - veh_pos, axis=-1) > 6.0
     )
+    if debug:
+        return yaw_rate, accel, new_wp, loop_jump, dict(
+            gap_front=gap_front, d_red=d_red,
+            yielding=must_yield | lane_conflict, hold=hold,
+            v_turn=v_turn, v_des=v_des,
+        )
     return yaw_rate, accel, new_wp, loop_jump

@@ -291,7 +291,7 @@ def train(
         if ckpt_dir and (int(state.step) % ckpt_every == 0):
             ckpt_lib.save_train_state(ckpt_dir, state)
             # durable params-only snapshot next to the gitignored orbax dir
-            # (bf16 msgpack, small enough to commit — see archive_params)
+            # (lossless msgpack, small enough to commit — see archive_params)
             ckpt_lib.archive_params(
                 os.path.join(os.path.dirname(ckpt_dir), "params.msgpack"),
                 state.params)
