@@ -145,6 +145,32 @@ def main():
             npc_stop_gap = jnp.sum(stopped & (tdbg["gap_front"] < 8.0))
             npc_stop_yield = jnp.sum(stopped & tdbg["yielding"])
             npc_stop_hold = jnp.sum(stopped & tdbg["hold"])
+            # per-vehicle blocking pointers (pooled actor axis: [veh, ego,
+            # walkers]) so the host can trace the ego's waiting chain to its
+            # root blocker
+            V = st2.traffic.pos.shape[0]
+            A2 = V + 1 + st2.walkers.pos.shape[0]
+            p_pos = jnp.concatenate(
+                [st2.traffic.pos, st2.ego.pos[None], st2.walkers.pos], 0)
+            p_yaw = jnp.concatenate(
+                [st2.traffic.yaw, st2.ego.yaw[None], st2.walkers.yaw], 0)
+            p_ext = jnp.concatenate(
+                [st2.traffic.extent, st2.ego.extent[None],
+                 st2.walkers.extent], 0)
+            p_act = jnp.concatenate(
+                [st2.traffic.active, jnp.ones((1,), bool),
+                 st2.walkers.active], 0)
+            sm = (jax.lax.broadcasted_iota(jnp.int32, (V, A2), 1)
+                  == jax.lax.broadcasted_iota(jnp.int32, (V, A2), 0))
+            _, blk = _front_gap(
+                st2.traffic.pos, st2.traffic.yaw, st2.traffic.speed,
+                p_pos, p_yaw, p_ext, p_act, sm,
+                self_ext_x=st2.traffic.extent[:, 0], return_idx=True)
+            sm_e = (jax.lax.broadcasted_iota(jnp.int32, (1, A2), 1) == V)
+            _, eblk = _front_gap(
+                st2.ego.pos[None], st2.ego.yaw[None], st2.ego.speed[None],
+                p_pos, p_yaw, p_ext, p_act, sm_e,
+                self_ext_x=st2.ego.extent[None, 0], return_idx=True)
             tel = dict(
                 npc_stop_red=npc_stop_red, npc_stop_gap=npc_stop_gap,
                 npc_stop_yield=npc_stop_yield, npc_stop_hold=npc_stop_hold,
@@ -155,6 +181,9 @@ def main():
                 n_layout=st2.criteria.n_collision_static,
                 n_veh=st2.criteria.n_collision_vehicle,
                 done=st2.criteria.done, ctrl=ctrl, dbg=dbg,
+                blk=blk, ego_blk=eblk[0],
+                t_red=tdbg["d_red"], t_hold=tdbg["hold"],
+                t_yield=tdbg["yielding"], t_gapf=tdbg["gap_front"],
             )
             return st2, tel
 
@@ -184,6 +213,40 @@ def main():
               f"yield={int(t['npc_stop_yield'])} "
               f"hold={int(t['npc_stop_hold'])}]",
               flush=True)
+        # trace the ego's waiting chain to its root blocker (last tick of
+        # the chunk): blk[i] points at whoever governs vehicle i's front gap
+        if float(t["speed"]) < 0.5 and float(t["gap"]) < 30.0:
+            st = jax.device_get(state)
+            V = st.traffic.pos.shape[0]
+            cur = int(t["ego_blk"])
+            seen = set()
+            parts = []
+            for _hop in range(30):
+                if cur == V:
+                    parts.append("EGO")  # cycle back to ego == deadlock
+                    break
+                if cur > V:
+                    parts.append(f"walker{cur - V - 1}")
+                    break
+                cause = []
+                if t["t_red"][cur] < 12.0:
+                    cause.append("red")
+                if t["t_yield"][cur]:
+                    cause.append("yield")
+                if t["t_hold"][cur]:
+                    cause.append("hold")
+                g = float(t["t_gapf"][cur])
+                wp_d = float(np.linalg.norm(
+                    np.asarray(town.lane_pts)[st.traffic.wp_idx[cur]]
+                    - st.traffic.pos[cur]))
+                parts.append(
+                    f"v{cur}(v={st.traffic.speed[cur]:.1f},g={min(g,99):.1f},"
+                    f"wpd={wp_d:.0f}{',' + '+'.join(cause) if cause else ''})")
+                if cur in seen or g > 30.0:
+                    break
+                seen.add(cur)
+                cur = int(t["blk"][cur])
+            print("  chain: ego -> " + " -> ".join(parts), flush=True)
         if bool(t["done"]):
             print("DONE:", {k: bool(jax.device_get(getattr(state.criteria, k)))
                             for k in ["blocked", "timeout", "route_deviation",

@@ -61,6 +61,10 @@ def main():
     ap.add_argument("--lr", type=float, default=3e-5)
     ap.add_argument("--anchor", type=float, default=0.05,
                     help="KL(BC || current) coefficient")
+    ap.add_argument("--red-scale", type=float, default=1.0,
+                    help="multiplier on the red-light infraction penalty "
+                         "(second-stage polish when reds dominate the eval "
+                         "penalty)")
     ap.add_argument("--out", default="runs/roach_rl5")
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
@@ -80,7 +84,8 @@ def main():
 
     pcfg = PPOConfig(n_envs=args.envs, n_steps=args.steps, n_epochs=4,
                      minibatch=512, lr=args.lr, n_vehicles=args.vehicles,
-                     policy_every=2, anchor_coef=args.anchor)
+                     policy_every=2, anchor_coef=args.anchor,
+                     red_light_scale=args.red_scale)
 
     # template params to restore the BC warm start into
     from thinktwice_tpu.agents.roach import RoachPolicy

@@ -57,7 +57,9 @@ def state_vector(state: WorldState) -> jax.Array:
     )
 
 
-def hazard_brake(cfg: Config, state: WorldState) -> jax.Array:
+def hazard_brake(
+    cfg: Config, state: WorldState, stopped_cone: bool = False
+) -> jax.Array:
     """Emergency-brake rule with ego+actor motion forecast
     (roach_ap_agent _is_vehicle_hazard:536-569, _is_walker_hazard:519-534):
     both the ego and every actor are extrapolated along their current
@@ -65,9 +67,10 @@ def hazard_brake(cfg: Config, state: WorldState) -> jax.Array:
     overlap (separating-axis, geometry.obb_overlap). Box-exact forecasting
     replaces round-2's point-corridor margins, which both missed corner
     clips (a crossing car reaching the ego's front corner keeps center
-    separation ~4-5 m) and phantom-braked behind queues. Only MOVING
-    vehicles count — a stopped leader is the gap law's job, and zero
-    velocity adds no swept path. Returns () bool."""
+    separation ~4-5 m) and phantom-braked behind queues. The forecast only
+    sweeps MOVING vehicles; stopped leaders are handled by the reference's
+    distance-cone rule below, applied to all vehicles exactly as
+    _is_vehicle_hazard does. Returns () bool."""
     from thinktwice_tpu.geometry import obb_overlap
 
     ego = state.ego
@@ -101,7 +104,37 @@ def hazard_brake(cfg: Config, state: WorldState) -> jax.Array:
         state.walkers.pos, state.walkers.yaw, state.walkers.speed,
         state.walkers.extent, state.walkers.active,
     )
-    return veh | wlk
+
+    # Reference cone rule (_is_vehicle_hazard:536-569), verbatim geometry:
+    # brake for ANY vehicle — moving or stopped — whose center is within
+    # s1 = max(10, 3·ego_speed) metres, inside a ±30° bearing cone, and
+    # either roughly co-heading (Δyaw ≤ 60°) or dead ahead (bearing < 15°).
+    # This is what keeps the reference collector from rear-ending stopped
+    # queues; the motion forecast above deliberately ignores stopped
+    # vehicles (a stopped leader is the gap law's job) so without this the
+    # learned expert plows into standing traffic at full throttle
+    # (runs/expert_rl5_town05_long.json: 23 vehicle collisions, RC 93).
+    # Opt-in (`stopped_cone`): the policy-driven expert needs it, but the
+    # rule-based autopilot zeroes v_des on hazard and already follows queues
+    # with its own gap law — the cone would freeze it 10 m behind traffic.
+    if not stopped_cone:
+        return veh | wlk
+    s1 = jnp.maximum(10.0, 3.0 * ego.speed)
+    rel = state.traffic.pos - ego.pos[None, :]                # (V, 2)
+    dist = jnp.linalg.norm(rel, axis=-1)
+    rel_hat = rel / (dist[:, None] + 1e-4)
+    cos_bearing = rel_hat @ fwd                               # cos(angle_to_car)
+    cos_heading = jnp.cos(state.traffic.yaw - ego.yaw)        # cos(Δyaw)
+    cone = (
+        state.traffic.active
+        & (dist <= s1)
+        & (cos_bearing >= jnp.cos(jnp.deg2rad(30.0)))
+        & (
+            (cos_heading >= jnp.cos(jnp.deg2rad(60.0)))
+            | (cos_bearing > jnp.cos(jnp.deg2rad(15.0)))
+        )
+    )
+    return veh | wlk | jnp.any(cone)
 
 
 def expert_control(
@@ -121,7 +154,7 @@ def expert_control(
     action = beta_mode(out["alpha"], out["beta"])[0]          # (2,)
     control = acc_to_control(action[None])[0]                 # (3,)
 
-    brake_now = hazard_brake(cfg, state)
+    brake_now = hazard_brake(cfg, state, stopped_cone=True)
     only_ap_brake = brake_now & (control[2] < 0.5)
     control = jnp.where(
         brake_now,

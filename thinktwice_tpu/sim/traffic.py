@@ -93,7 +93,7 @@ def _advance_wp(town: TownMap, wp_idx, pos, yaw):
 
 
 def _front_gap(pos, yaw, speed, all_pos, all_yaw, all_ext, all_active, self_mask,
-               self_ext_x=None):
+               self_ext_x=None, return_idx=False):
     """Distance to the nearest actor that actually obstructs the vehicle.
 
     pos/yaw/speed: (V, ...) of the deciding vehicles; all_*: (A, ...) of every
@@ -140,6 +140,11 @@ def _front_gap(pos, yaw, speed, all_pos, all_yaw, all_ext, all_active, self_mask
     if self_ext_x is not None:
         gap = gap - self_ext_x[:, None]
     gap = jnp.where(in_corridor, gap, 1e4)
+    if return_idx:
+        # index (into the pooled actor axis) of the governing blocker —
+        # diagnostics only: lets gridlock traces follow the waiting chain
+        # from the ego to its root (scripts/diag_longest6.py)
+        return jnp.min(gap, axis=-1), jnp.argmin(gap, axis=-1)
     return jnp.min(gap, axis=-1)
 
 

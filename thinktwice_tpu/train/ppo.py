@@ -111,7 +111,8 @@ def hazard_desired_speed(cfg: Config, town: TownMap, state: WorldState):
 
 
 def compute_reward(prev: WorldState, new: WorldState, events,
-                   desired_speed=DESIRED_SPEED) -> tuple[jax.Array, dict]:
+                   desired_speed=DESIRED_SPEED,
+                   red_light_scale: float = 1.0) -> tuple[jax.Array, dict]:
     """Carla-roach-style dense driving reward (see module docstring):
     progress + speed tracking (vs the hazard-adaptive desired speed) −
     lane-position / heading deviation − off-road meters − infraction events.
@@ -151,7 +152,8 @@ def compute_reward(prev: WorldState, new: WorldState, events,
             + events.collision_walker.astype(jnp.float32)
             + events.collision_static.astype(jnp.float32)
         ),
-        "p_red_light": -P_RED_LIGHT * events.red_light.astype(jnp.float32),
+        "p_red_light": -P_RED_LIGHT * red_light_scale
+        * events.red_light.astype(jnp.float32),
         "p_blocked": -P_TERMINAL_BLOCKED * (
             new.criteria.blocked & ~prev.criteria.blocked
         ).astype(jnp.float32),
@@ -181,6 +183,11 @@ class PPOConfig:
     # KL(anchor || current) penalty toward a frozen reference policy (the BC
     # clone): PPO polish without forgetting the cloned turning behavior.
     anchor_coef: float = 0.0
+    # multiplier on P_RED_LIGHT: the closed-loop eval showed red lights are
+    # the residual infraction after collisions are handled (RL5: 0.078/km,
+    # runs/expert_rl5b_town05_long.json) — a second PPO stage can upweight
+    # them without touching the other reward terms.
+    red_light_scale: float = 1.0
 
 
 def _beta_kl(a_p, b_p, a_q, b_q):
@@ -289,9 +296,11 @@ def make_ppo(cfg: Config, ppo_cfg: PPOConfig, town: TownMap, routes,
                 desired = jax.vmap(
                     lambda s: hazard_desired_speed(cfg, town, s)
                 )(cur)
-                r_k, rc_k = jax.vmap(compute_reward)(
-                    cur, new_states, events, desired
-                )
+                r_k, rc_k = jax.vmap(
+                    lambda p, n, e, d: compute_reward(
+                        p, n, e, d,
+                        red_light_scale=ppo_cfg.red_light_scale)
+                )(cur, new_states, events, desired)
                 rew = rew + r_k
                 rcomps = rc_k if rcomps is None else jax.tree.map(
                     jnp.add, rcomps, rc_k
