@@ -143,8 +143,9 @@ def main():
     # orbax-only checkpoints did not); live orbax dirs are the fallback for
     # in-progress runs. Order = best closed-loop Town05 Long score first.
     candidates = []
-    for run_name in ("roach_bc5", "roach_bc3", "roach_bc4", "roach_bc",
-                     "roach_town05_v2", "roach_town05", "roach_ppo"):
+    for run_name in ("roach_rl6", "roach_rl5", "roach_bc5", "roach_bc3",
+                     "roach_bc4", "roach_bc", "roach_town05_v2",
+                     "roach_town05", "roach_ppo"):
         candidates.append(os.path.join(REPO, "runs", run_name,
                                        "params.msgpack"))
         candidates.append(os.path.join(REPO, "runs", run_name, "ckpt"))

@@ -199,6 +199,8 @@ def main():
             "gap": int((stall & (d["v_gap"] < 0.3)).sum()),
             "hazard": int((stall & d["hazard"]).sum()),
             "sign": int((stall & (d["v_sign"] < 0.3)).sum()),
+            "yield": int((stall & (d["v_yield"] < 0.3)).sum()),
+            "d_conf": round(float(d["d_conf"][-1]), 1),
         }
         print(f"t={(chunk + 1) * 200 * 0.05:6.0f}s comp={t['comp']:.3f} "
               f"v={t['speed']:4.1f} gap={min(float(t['gap']), 999):5.1f} "

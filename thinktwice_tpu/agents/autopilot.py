@@ -37,6 +37,120 @@ def _stop_profile(dist, margin):
     return jnp.sqrt(2.0 * COMFORT_DECEL * d)
 
 
+def red_sign_caps(cfg: Config, town: TownMap, state: WorldState):
+    """(v_red, d_red, v_sign): the red-light / stop-sign speed caps shared by
+    the autopilot's longitudinal law and the expert collector's rule brake.
+
+    Red lights: the governing light is the one whose stop line MY ROUTE
+    crosses ahead — the same geometry RunningRedLightTest charges (stop-line
+    segment crossing). A nearest-aligned-light test keyed on the ego's
+    instantaneous heading is brittle while turning: an ego stopped AT its
+    line mid-turn-entry drifts past the alignment cone, "loses" the light
+    (d_red jumps to 1e4 with the phase still red), and pulls away across the
+    red (observed on Town05 Long route 19).
+
+    Stop signs: stop once in the zone (criteria.stop_has_stopped), then
+    proceed; distance is LONGITUDINAL — the lane-positioned ego passes the
+    sign with 1.5-3 m of lateral offset, so Euclidean distance never reaches
+    the 1.5 m stop margin (profile bottomed out at ~1 m/s and the ego
+    drifted through RunningStopTest's 4 m zone without a stop)."""
+    ego = state.ego
+    route = state.route
+    cum = state.route_cumlen
+    idx = state.criteria.route_idx
+    n = route.shape[0]
+
+    tl_states = traffic_light_states(town, state.time_s)
+    W_RED = 48
+    widx = jnp.clip(idx + jnp.arange(W_RED), 0, n - 1)
+    wpts = route[widx, :2]
+    seg_yaw = route[widx[:-1], 2]
+    crossing = segments_intersect(
+        wpts[:-1, None], wpts[1:, None],
+        town.tl_stopline[None, :, 0], town.tl_stopline[None, :, 1],
+    )                                                        # (W-1, NL)
+    hd_ok = jnp.abs(
+        wrap_angle(town.tl_yaw[None, :] - seg_yaw[:, None])
+    ) < jnp.pi / 3
+    stopping = (tl_states == TL_RED) | (tl_states == TL_YELLOW)
+    cand = crossing & hd_ok & stopping[None, :] & town.tl_valid[None, :]
+    seg_d = cum[widx[:-1]] - cum[idx]
+    d_red = jnp.min(jnp.where(jnp.any(cand, axis=1), seg_d, 1e4))
+    v_red = jnp.where(d_red < 30.0, _stop_profile(d_red, 3.0), CRUISE)
+
+    d_stop = jnp.linalg.norm(town.stop_pos - ego.pos[None], axis=-1)
+    fwd = jnp.stack([jnp.cos(ego.yaw), jnp.sin(ego.yaw)])
+    ahead = (town.stop_pos - ego.pos[None]) @ fwd
+    aligned = jnp.abs(wrap_angle(town.stop_yaw - ego.yaw)) < jnp.pi / 3
+    pending = (
+        town.stop_valid & aligned & (ahead > -1.0) & (d_stop < 12.0)
+        & ~state.criteria.stop_has_stopped
+    )
+    d_sign = jnp.min(jnp.where(pending, jnp.maximum(ahead, 0.0), 1e4))
+    v_sign = jnp.where(d_sign < 12.0, _stop_profile(d_sign, 1.5), CRUISE)
+    return v_red, d_red, v_sign
+
+
+def junction_yield(cfg: Config, town: TownMap, state: WorldState):
+    """(v_yield, d_conf): stop BEFORE a crossing stream, not inside it.
+
+    The corridor gap law only paces actors in the ego's own heading band, so
+    at unsignalized junctions the ego rolled into the crossing lane, stopped
+    there on the hazard brake, and wedged the junction — every arriving
+    crosser conflicts on the ego's box (sim/traffic.py lane_conflict),
+    freezes, recycles after 20 s, and the next one re-wedges. Measured:
+    Longest6 Town03 route 15 pinned at 1.8% completion for 1500 s with the
+    wedge partner cycling v40 -> v148 -> v45; the scene dump
+    (scripts/diag_wedge_scene.py) shows the opposing left-turn geometry.
+    Mirrors the NPCs' crossing-conflict law on the ego's ROUTE: scan the
+    next W_YLD route meters; where a MOVING crossing vehicle's ~2.5 s swept
+    box covers a route point, brake to stop 3 m short. Stopped crossers are
+    excluded (a crosser waiting for US must not produce a mutual yield; the
+    corridor gap law still paces them). Used by the autopilot's speed law
+    and — flagged in only_ap_brake — the expert collector's rule brake."""
+    ego = state.ego
+    route = state.route
+    cum = state.route_cumlen
+    idx = state.criteria.route_idx
+    n = route.shape[0]
+
+    W_YLD = 22
+    yidx = jnp.clip(idx + jnp.arange(W_YLD), 0, n - 1)
+    ypts = route[yidx, :2]                                    # (W, 2)
+    ryaws = route[yidx, 2]
+    tr = state.traffic
+    relp = ypts[:, None, :] - tr.pos[None, :, :]              # (W, V, 2)
+    cv, sv = jnp.cos(tr.yaw), jnp.sin(tr.yaw)
+    px = relp[..., 0] * cv[None, :] + relp[..., 1] * sv[None, :]
+    py = -relp[..., 0] * sv[None, :] + relp[..., 1] * cv[None, :]
+    # 4.5 s sweep: the entry decision must cover the ego's whole junction
+    # transit (~18 m at commit speed), not just the next 2-3 s — with a
+    # 2.5 s sweep the ego entered during a momentary stream gap and a new
+    # turner arrived mid-commit, reforming the wedge (t=20->30 formation
+    # race in /tmp diag traces, Town03 r15). While the ego waits OUTSIDE
+    # the stream the turners flow at full speed, so long waits only happen
+    # when the stream is truly saturated.
+    sweep = jnp.clip(tr.speed * 4.5, 0.0, 18.0)
+    infl = ego.extent[1] + 0.4
+    hit = (
+        (px > -(tr.extent[:, 0] + infl)[None, :])
+        & (px < (tr.extent[:, 0] + infl)[None, :] + sweep[None, :])
+        & (jnp.abs(py) < (tr.extent[:, 1] + infl)[None, :])
+    )
+    crossing_v = jnp.abs(
+        wrap_angle(tr.yaw[None, :] - ryaws[:, None])
+    ) > jnp.pi / 4
+    conflict = (
+        hit & crossing_v & tr.active[None, :] & (tr.speed > 0.3)[None, :]
+    )
+    d_conf = jnp.min(jnp.where(jnp.any(conflict, axis=1),
+                               cum[yidx] - cum[idx], 1e4))
+    v_yield = jnp.where(
+        d_conf < float(W_YLD) - 1.0, _stop_profile(d_conf, 3.0), CRUISE
+    )
+    return v_yield, d_conf
+
+
 def autopilot_control(cfg: Config, town: TownMap, state: WorldState,
                       debug: bool = False):
     """-> (3,) control (steer, throttle, brake).
@@ -95,50 +209,15 @@ def autopilot_control(cfg: Config, town: TownMap, state: WorldState,
     )[0]
     v_gap = jnp.clip((gap - 2.5) / 1.2, 0.0, CRUISE)
 
-    # ---- red lights -------------------------------------------------------
-    # The governing light is the one whose stop line MY ROUTE crosses ahead —
-    # the same geometry RunningRedLightTest charges (stop-line segment
-    # crossing). The previous nearest-aligned-light test keyed on the ego's
-    # instantaneous heading, which is brittle while turning: an ego stopped
-    # AT its line mid-turn-entry drifted past the alignment cone, "lost" the
-    # light (d_red jumped to 1e4 with the phase still red), and pulled away
-    # across the red (observed on Town05 Long route 19).
-    tl_states = traffic_light_states(town, state.time_s)
-    W_RED = 48
-    widx = jnp.clip(idx + jnp.arange(W_RED), 0, n - 1)
-    wpts = route[widx, :2]
-    seg_yaw = route[widx[:-1], 2]
-    crossing = segments_intersect(
-        wpts[:-1, None], wpts[1:, None],
-        town.tl_stopline[None, :, 0], town.tl_stopline[None, :, 1],
-    )                                                        # (W-1, NL)
-    hd_ok = jnp.abs(
-        wrap_angle(town.tl_yaw[None, :] - seg_yaw[:, None])
-    ) < jnp.pi / 3
-    stopping = (tl_states == TL_RED) | (tl_states == TL_YELLOW)
-    cand = crossing & hd_ok & stopping[None, :] & town.tl_valid[None, :]
-    seg_d = cum[widx[:-1]] - cum[idx]
-    d_red = jnp.min(jnp.where(jnp.any(cand, axis=1), seg_d, 1e4))
-    v_red = jnp.where(d_red < 30.0, _stop_profile(d_red, 3.0), CRUISE)
+    # ---- unsignalized-junction yield (shared helper; see junction_yield) --
+    v_yield, d_conf = junction_yield(cfg, town, state)
 
-    # ---- stop signs: stop once in the zone, then proceed ------------------
-    d_stop = jnp.linalg.norm(town.stop_pos - ego.pos[None], axis=-1)
-    fwd = jnp.stack([jnp.cos(ego.yaw), jnp.sin(ego.yaw)])
-    ahead = (town.stop_pos - ego.pos[None]) @ fwd
-    aligned = jnp.abs(wrap_angle(town.stop_yaw - ego.yaw)) < jnp.pi / 3
-    pending = (
-        town.stop_valid & aligned & (ahead > -1.0) & (d_stop < 12.0)
-        & ~state.criteria.stop_has_stopped
-    )
-    # stop on the LONGITUDINAL distance: the lane-positioned ego passes the
-    # sign with 1.5-3 m of lateral offset, so the Euclidean distance can
-    # never reach the 1.5 m stop margin — the profile bottomed out at ~1 m/s
-    # and the ego drifted through RunningStopTest's 4 m zone without a stop
-    d_sign = jnp.min(jnp.where(pending, jnp.maximum(ahead, 0.0), 1e4))
-    v_sign = jnp.where(d_sign < 12.0, _stop_profile(d_sign, 1.5), CRUISE)
+    # ---- red lights + stop signs (shared with the expert's rule brake) ----
+    v_red, d_red, v_sign = red_sign_caps(cfg, town, state)
 
     v_des = jnp.minimum(
-        jnp.minimum(v_curve, v_gap), jnp.minimum(v_red, v_sign)
+        jnp.minimum(v_curve, v_gap),
+        jnp.minimum(jnp.minimum(v_red, v_sign), v_yield),
     )
 
     # ---- motion-forecast hazard (crossing traffic / walkers) --------------
@@ -154,8 +233,11 @@ def autopilot_control(cfg: Config, town: TownMap, state: WorldState,
     # blocked a long time, nothing physically within 3 m, no red line closer
     # than 6 m: creep forward (the world's recycle rule will clear whatever
     # queue caused it; without creep the ego never re-probes the gap).
+    # (d_conf gate: creeping INTO an active crossing stream re-wedges the
+    # junction the yield above just kept clear)
     creep = (
         (state.criteria.blocked_s > 15.0) & (gap > 3.0) & (d_red > 6.0)
+        & (d_conf > 6.0)
     )
     v_des = jnp.where(creep, jnp.maximum(v_des, 1.5), v_des)
 
@@ -168,6 +250,7 @@ def autopilot_control(cfg: Config, town: TownMap, state: WorldState,
     if debug:
         return control, dict(
             v_curve=v_curve, v_gap=v_gap, v_red=v_red, v_sign=v_sign,
+            v_yield=v_yield, d_conf=d_conf,
             hazard=hazard, creep=creep, gap=gap, d_red=d_red,
         )
     return control

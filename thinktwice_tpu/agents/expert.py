@@ -155,6 +155,31 @@ def expert_control(
     control = acc_to_control(action[None])[0]                 # (3,)
 
     brake_now = hazard_brake(cfg, state, stopped_cone=True)
+
+    # Red-light / stop-sign rule brake — a DOCUMENTED DEVIATION from the
+    # reference collector, which applies only the collision brake
+    # (roach_ap_agent:477-482) and leaves traffic lights to the Roach
+    # policy. The reference's policy had 11.8M env steps to learn lights
+    # (ppo_policy.py ckpt_11833344); ours has a BC warm start plus a few
+    # hundred PPO iterations, and its residual red-light rate (0.08-0.10/km,
+    # runs/expert_rl{5b,6}_town05_long.json) multiplies away the driving
+    # score (0.7^n). The privileged collector's job is clean supervision —
+    # the same reasoning that justifies the reference's own collision
+    # override — so reds/stops get the same only_ap_brake treatment, using
+    # the exact stop-line geometry the criteria charge (autopilot's caps).
+    from thinktwice_tpu.agents.autopilot import junction_yield, red_sign_caps
+
+    v_red, d_red, v_sign = red_sign_caps(cfg, town, state)
+    spd = state.ego.speed
+    brake_red = ((d_red < 30.0) & (spd > v_red + 0.5)) | (d_red < 4.5)
+    brake_sign = (spd > v_sign + 0.5) | (v_sign < 0.2)
+    # junction-entry yield (same deadlock geometry as the autopilot's — the
+    # expert wedged Town05 Long route 18 at 31% the same way): hold before
+    # the crossing stream; once the crosser stops, the cone above paces it
+    # and the 20 s NPC recycle clears the mouth.
+    v_yield, d_conf = junction_yield(cfg, town, state)
+    brake_yield = ((d_conf < 21.0) & (spd > v_yield + 0.5)) | (d_conf < 4.0)
+    brake_now = brake_now | brake_red | brake_sign | brake_yield
     only_ap_brake = brake_now & (control[2] < 0.5)
     control = jnp.where(
         brake_now,

@@ -22,6 +22,15 @@ from thinktwice_tpu.config import SimConfig
 from thinktwice_tpu.geometry import wrap_angle
 from thinktwice_tpu.maps.town import TownMap, TL_RED, TL_YELLOW
 
+# bumper gap (m) at which a follower's desired speed reaches 0. Yield /
+# conflict clamps must sit BELOW this so a clamped gap commands a hard
+# stop, not a creep. (A tighter 1.5/1.3 CARLA-TM-style packing was measured
+# on Longest6 Town01 route 1 and did NOT raise route throughput — the
+# binding constraint is junction drain rate, not queue length — so the
+# original tuned values stand.)
+NPC_ZERO_GAP = 2.0
+NPC_YIELD_GAP = 1.8
+
 
 def _lookahead_target(town: TownMap, wp_idx, pos, lookahead_m: float):
     """Chase a point ~lookahead_m ahead along the lane by chaining successor
@@ -338,10 +347,12 @@ def traffic_policy(
     # behind the ego. Only cross/oncoming lane geometry counts as a conflict.
     crossing_pt = jnp.abs(wrap_angle(path_yaw - ego_yaw)) > jnp.pi / 4
     lane_conflict = jnp.any(in_box & within & crossing_pt, axis=1)
-    # hard stop, not creep: clamping the gap to 2.5 leaves v_des ≈ 0.7 m/s,
-    # which walks the NPC 3-4 m into the conflict over a 6 s crossing — the
-    # observed slow-speed collision farm. 1.8 zeroes v_des outright.
-    gap = jnp.where(must_yield | lane_conflict, jnp.minimum(gap, 1.8), gap)
+    # hard stop, not creep: clamping the gap ABOVE the zero point leaves a
+    # residual v_des ≈ 0.7 m/s, which walks the NPC 3-4 m into the conflict
+    # over a 6 s crossing — the observed slow-speed collision farm.
+    # NPC_YIELD_GAP < NPC_ZERO_GAP zeroes v_des outright.
+    gap = jnp.where(must_yield | lane_conflict,
+                    jnp.minimum(gap, NPC_YIELD_GAP), gap)
 
     # --- junction-box holdback (TrafficManager "don't block the box") ------
     # Do not cross my stop line while a STOPPED vehicle occupies my lane
@@ -373,7 +384,8 @@ def traffic_policy(
     desired_gap = cfg.npc_gap + veh_speed * cfg.npc_time_headway
     v_des = jnp.where(
         gap < desired_gap,
-        cruise * jnp.clip((gap - 2.0) / jnp.maximum(desired_gap, 1e-3), 0.0, 1.0),
+        cruise * jnp.clip((gap - NPC_ZERO_GAP)
+                          / jnp.maximum(desired_gap, 1e-3), 0.0, 1.0),
         cruise,
     )
     # slow through turns: the straight-line corridor cannot see a conflict
