@@ -72,6 +72,8 @@ def main():
     ap.add_argument("--vehicles", type=int, default=0,
                     help="override (default: the town's CARLA spawn cap)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--chunk", type=int, default=200,
+                    help="sim ticks per telemetry row")
     args = ap.parse_args()
 
     h5 = os.path.join(MAPS, f"{args.town}.h5")
@@ -139,12 +141,22 @@ def main():
                 st2.traffic.speed, st2.traffic.extent, st2.traffic.wp_idx,
                 st2.traffic.active, st2.ego.pos, st2.ego.yaw,
                 st2.ego.extent, st2.ego.speed, st2.walkers.pos,
-                st2.walkers.extent, st2.walkers.active, debug=True)
+                st2.walkers.extent, st2.walkers.active,
+                ego_route=jax.lax.dynamic_slice_in_dim(
+                    st2.route[:, :2], st2.criteria.route_idx, 16),
+                ego_slow_s=st2.criteria.slow_s, debug=True)
             stopped = act & (st2.traffic.speed < 0.3)
             npc_stop_red = jnp.sum(stopped & (tdbg["d_red"] < 12.0))
             npc_stop_gap = jnp.sum(stopped & (tdbg["gap_front"] < 8.0))
             npc_stop_yield = jnp.sum(stopped & tdbg["yielding"])
             npc_stop_hold = jnp.sum(stopped & tdbg["hold"])
+            npc_stop_court = jnp.sum(stopped & tdbg["courteous"])
+            n_court = jnp.sum(tdbg["courteous"])
+            near30 = act & (jnp.linalg.norm(
+                st2.traffic.pos - st2.ego.pos[None], axis=-1) < 30.0)
+            min_dconf = jnp.min(
+                jnp.where(near30, tdbg["court_d_conf"], 1e4))
+            n_conf30 = jnp.sum(near30 & (tdbg["court_d_conf"] < 1e3))
             # per-vehicle blocking pointers (pooled actor axis: [veh, ego,
             # walkers]) so the host can trace the ego's waiting chain to its
             # root blocker
@@ -174,6 +186,9 @@ def main():
             tel = dict(
                 npc_stop_red=npc_stop_red, npc_stop_gap=npc_stop_gap,
                 npc_stop_yield=npc_stop_yield, npc_stop_hold=npc_stop_hold,
+                npc_stop_court=npc_stop_court, n_court=n_court,
+                min_dconf=min_dconf, n_conf30=n_conf30,
+                slow_s=st2.criteria.slow_s,
                 speed=st2.ego.speed, comp=st2.criteria.route_completion,
                 gap=gap, npc_speed=npc_speed, npc_stopped=npc_stopped,
                 nearest_npc=jnp.min(d_npc), pos=st2.ego.pos,
@@ -183,13 +198,14 @@ def main():
                 done=st2.criteria.done, ctrl=ctrl, dbg=dbg,
                 blk=blk, ego_blk=eblk[0],
                 t_red=tdbg["d_red"], t_hold=tdbg["hold"],
+                t_court=tdbg["courteous"],
                 t_yield=tdbg["yielding"], t_gapf=tdbg["gap_front"],
             )
             return st2, tel
 
-        return jax.lax.scan(body, state, None, length=200)
+        return jax.lax.scan(body, state, None, length=args.chunk)
 
-    for chunk in range(args.steps // 200):
+    for chunk in range(args.steps // args.chunk):
         state, tel = run_chunk(state)
         t = jax.device_get(jax.tree.map(lambda x: x[-1], tel))
         d = jax.device_get(tel["dbg"])
@@ -202,19 +218,40 @@ def main():
             "yield": int((stall & (d["v_yield"] < 0.3)).sum()),
             "d_conf": round(float(d["d_conf"][-1]), 1),
         }
-        print(f"t={(chunk + 1) * 200 * 0.05:6.0f}s comp={t['comp']:.3f} "
+        print(f"t={(chunk + 1) * args.chunk * 0.05:6.1f}s comp={t['comp']:.3f} "
               f"v={t['speed']:4.1f} gap={min(float(t['gap']), 999):5.1f} "
               f"npc_v={t['npc_speed']:4.2f} npc_stop={t['npc_stopped']:3d} "
               f"near={t['nearest_npc']:5.1f} blocked={t['blocked_s']:4.1f} "
               f"lay={t['n_layout']} veh={t['n_veh']} "
               f"pos=({t['pos'][0]:.0f},{t['pos'][1]:.0f}) "
               f"ctrl={np.round(np.asarray(t['ctrl']), 2)} "
-              f"stall={int(stall.sum())}/200 of which {attrib} "
+              f"stall={int(stall.sum())}/{args.chunk} of which {attrib} "
               f"npc_stop[red={int(t['npc_stop_red'])} "
               f"gap={int(t['npc_stop_gap'])} "
               f"yield={int(t['npc_stop_yield'])} "
-              f"hold={int(t['npc_stop_hold'])}]",
+              f"hold={int(t['npc_stop_hold'])} "
+              f"court={int(t['npc_stop_court'])}] "
+              f"slow_s={float(t['slow_s']):.0f} "
+              f"court={int(t['n_court'])}/{int(t['n_conf30'])} "
+              f"mindc={min(float(t['min_dconf']), 99):.0f}",
               flush=True)
+        if float(t["speed"]) < 0.5:
+            st0 = jax.device_get(state)
+            sp = np.asarray(town.stop_pos)
+            sy = np.asarray(town.stop_yaw)
+            sv = np.asarray(town.stop_valid)
+            d_stop0 = np.linalg.norm(sp - st0.ego.pos[None], axis=-1)
+            k = int(np.argmin(np.where(sv, d_stop0, 1e9)))
+            if d_stop0[k] < 15.0:
+                fwd = np.array([np.cos(st0.ego.yaw), np.sin(st0.ego.yaw)])
+                ahead = float((sp[k] - st0.ego.pos) @ fwd)
+                dyaw = float(np.abs(
+                    (sy[k] - st0.ego.yaw + np.pi) % (2 * np.pi) - np.pi))
+                print(f"  sign probe: #{k} eucl={d_stop0[k]:.2f} "
+                      f"ahead={ahead:.2f} dyaw={np.degrees(dyaw):.0f} "
+                      f"in_zone={bool(st0.criteria.stop_in_zone[k])} "
+                      f"has_stopped={bool(st0.criteria.stop_has_stopped[k])} "
+                      f"ego_v={float(st0.ego.speed):.3f}", flush=True)
         # trace the ego's waiting chain to its root blocker (last tick of
         # the chunk): blk[i] points at whoever governs vehicle i's front gap
         if float(t["speed"]) < 0.5 and float(t["gap"]) < 30.0:
@@ -237,6 +274,8 @@ def main():
                     cause.append("yield")
                 if t["t_hold"][cur]:
                     cause.append("hold")
+                if t["t_court"][cur]:
+                    cause.append("court")
                 g = float(t["t_gapf"][cur])
                 wp_d = float(np.linalg.norm(
                     np.asarray(town.lane_pts)[st.traffic.wp_idx[cur]]
@@ -249,6 +288,30 @@ def main():
                 seen.add(cur)
                 cur = int(t["blk"][cur])
             print("  chain: ego -> " + " -> ".join(parts), flush=True)
+            # courtesy-geometry probe on the root blocker: its 8-hop lane
+            # path vs the ego's next-16 m route slice
+            first = int(t["ego_blk"])
+            if first < V:
+                lane_next = np.asarray(town.lane_next)
+                lane_pts = np.asarray(town.lane_pts)
+                wp = int(st.traffic.wp_idx[first])
+                hops = []
+                for _h in range(8):
+                    wp = int(lane_next[wp])
+                    hops.append(lane_pts[wp])
+                hops = np.stack(hops)
+                ridx = int(st.criteria.route_idx)
+                ego_rt = np.asarray(st.route)[ridx:ridx + 16, :2]
+                dmat = np.linalg.norm(
+                    hops[:, None, :] - ego_rt[None, :, :], axis=-1)
+                print(f"  probe v{first}: wp_hops->ego_route min "
+                      f"{dmat.min():.1f} m (per-hop "
+                      f"{np.round(dmat.min(1), 1)}), ridx={ridx}, "
+                      f"ego->route0 "
+                      f"{np.linalg.norm(st.ego.pos - ego_rt[0]):.1f} m, "
+                      f"v{first}->ego "
+                      f"{np.linalg.norm(st.traffic.pos[first] - st.ego.pos):.1f} m",
+                      flush=True)
         if bool(t["done"]):
             print("DONE:", {k: bool(jax.device_get(getattr(state.criteria, k)))
                             for k in ["blocked", "timeout", "route_deviation",

@@ -81,10 +81,20 @@ def red_sign_caps(cfg: Config, town: TownMap, state: WorldState):
     d_stop = jnp.linalg.norm(town.stop_pos - ego.pos[None], axis=-1)
     fwd = jnp.stack([jnp.cos(ego.yaw), jnp.sin(ego.yaw)])
     ahead = (town.stop_pos - ego.pos[None]) @ fwd
+    # lateral bound: a sign governs MY lane only. Without it, an aligned
+    # sign of a parallel approach sitting ~4+ m off-axis can enter pending
+    # with |ahead| < 1.5 — binding v_sign to 0 — while its criteria zone
+    # (Euclidean < 4, criteria.py RunningStopTest) is unreachable from the
+    # ego's lane, so stop_has_stopped never latches and the ego parks
+    # forever (observed: Longest6 Town03 r15, 200+ s stall at a minor
+    # junction). 3.5 keeps the ego's own sign (lane-positioned driving
+    # line passes it 1.5-3 m off-axis) and excludes the unreachable one.
+    lat = jnp.abs((town.stop_pos - ego.pos[None])
+                  @ jnp.stack([-fwd[1], fwd[0]]))
     aligned = jnp.abs(wrap_angle(town.stop_yaw - ego.yaw)) < jnp.pi / 3
     pending = (
         town.stop_valid & aligned & (ahead > -1.0) & (d_stop < 12.0)
-        & ~state.criteria.stop_has_stopped
+        & (lat < 3.5) & ~state.criteria.stop_has_stopped
     )
     d_sign = jnp.min(jnp.where(pending, jnp.maximum(ahead, 0.0), 1e4))
     v_sign = jnp.where(d_sign < 12.0, _stop_profile(d_sign, 1.5), CRUISE)

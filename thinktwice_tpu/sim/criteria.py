@@ -199,6 +199,9 @@ def update_criteria(
         ego_speed < sim.blocked_speed, crit.blocked_s + sim.dt, 0.0
     )
     blocked = new_blocked_s > sim.blocked_time
+    # courtesy-yield latch (see CriteriaState.slow_s): creeping must not
+    # release the yielded stream, so the reset threshold is 2 m/s, not 0.1
+    new_slow_s = jnp.where(ego_speed < 2.0, crit.slow_s + sim.dt, 0.0)
     timeout = time_s > (sim.timeout_per_meter * route_len_m + sim.timeout_base)
 
     new_finished = crit.finished | finished
@@ -224,6 +227,7 @@ def update_criteria(
         dist_offlane=new_dist_offlane,
         blocked_s=new_blocked_s,
         blocked=crit.blocked | blocked,
+        slow_s=new_slow_s,
         timeout=crit.timeout | timeout,
         finished=new_finished,
         done=done,

@@ -102,6 +102,13 @@ class CriteriaState:
     # blocked timer
     blocked_s: jax.Array             # () f32 continuous seconds below speed threshold
     blocked: jax.Array               # () bool terminal
+    slow_s: jax.Array                # () f32 continuous seconds below 2 m/s —
+                                     # the latch for the NPCs' courtesy yield:
+                                     # unlike blocked_s it does NOT reset
+                                     # while the ego creeps through a junction
+                                     # wedge, so the yielded stream stays
+                                     # yielded until the ego truly clears
+                                     # (sim/traffic.py courtesy rule)
 
     timeout: jax.Array               # () bool terminal
     finished: jax.Array              # () bool route completed
@@ -203,6 +210,7 @@ def zero_criteria(cfg: Config, n_lights: int | None = None, n_stops: int | None 
         dist_offlane=zf,
         blocked_s=zf,
         blocked=zb,
+        slow_s=zf,
         timeout=zb,
         finished=zb,
         done=zb,

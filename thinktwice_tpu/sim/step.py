@@ -124,6 +124,10 @@ def step_world(
         walkers.pos,
         walkers.extent,
         walkers.active,
+        ego_route=jax.lax.dynamic_slice_in_dim(
+            state.route[:, :2], state.criteria.route_idx, 16
+        ),
+        ego_slow_s=state.criteria.slow_s,
     )
     # scenario speed caps (lead-vehicle brake): clamp desired accel so speed
     # decays toward the cap

@@ -265,6 +265,8 @@ def traffic_policy(
     wlk_pos,
     wlk_ext,
     wlk_active,
+    ego_route=None,
+    ego_slow_s=0.0,
     debug: bool = False,
 ):
     """Compute (yaw_rate, accel, new_wp_idx) for all traffic vehicles.
@@ -375,6 +377,62 @@ def traffic_policy(
     hold = (d_line > 1.0) & (d_line < 10.0) & exit_blocked
     gap = jnp.where(hold, jnp.minimum(gap, d_line - 2.0), gap)
 
+    # --- courtesy yield to a long-blocked ego (liveness) -------------------
+    # CARLA's TM never yields to a waiting ego, but CARLA's flow is made of
+    # per-vehicle random branch choices — bursty streams with real gaps. Our
+    # NPC flow follows fixed bank-route loops, so a junction fed by a loop
+    # produces a SATURATED turn stream: the diagnosed Longest6 Town03 r15
+    # gridlock had the ego waiting 1500 s at an unsignalized junction while
+    # opposing left-turners arrived every 3-5 s, each freezing on the ego's
+    # box, recycling after 20 s, and being replaced (scripts/diag_longest6.py
+    # --chunk 20 formation trace). Real drivers alternate at unsignalized
+    # junctions; this implements that liveness rule: once the ego has been
+    # slow (< 2 m/s) for > 25 s (criteria.slow_s — NOT blocked_s: a creeping
+    # ego must not release the stream mid-crossing; and longer than one
+    # 15 s light slot, so a lawful red-light wait does not freeze the
+    # cross traffic), any NPC whose next ~16 m of lane path passes within
+    # a combined-half-width band of the ego's next ~16 m of route holds
+    # WELL SHORT of the conflict point instead of entering it. Two failed
+    # cuts shaped the margins: freezing the NPC wherever it was (gap :=
+    # NPC_YIELD_GAP) parked it inside the ego's own corridor, and a 3 m
+    # hold-back still blocked the ego at junctions where the opposing turn
+    # lane passes within ~1-2 m of the ego's waiting spot (Town03 r15) —
+    # so held NPCs stop ~10 m short, and an NPC already too close to stop
+    # that far out (d_conf <= 9 m) keeps driving and clears. Self-
+    # releasing: once the ego passes 2 m/s, slow_s resets and the held
+    # stream resumes.
+    if ego_route is not None:
+        dseg = jnp.linalg.norm(
+            path[:, :, None, :] - ego_route[None, None, :, :], axis=-1
+        )                                                    # (V, 8, K)
+        # band = combined half-widths + 3.0: the nominal lane path and the
+        # ego route can sit ~3.6 m apart while the BODIES still wedge
+        # (edge-marching lane positioning offsets the driving line from
+        # lane_pts, and both corridor gap laws are wider than the body
+        # band — measured on the Town03 r15 wedge partner: path-to-route
+        # min 3.6 m, yet mutual standoff at 5.4 m center distance)
+        conf_hop = jnp.any(
+            dseg < (veh_ext[:, 1:2, None] + ego_ext[1] + 3.0), axis=2
+        )                                                    # (V, 8)
+        has_conf = jnp.any(conf_hop, axis=1)
+        # lane hops are ~2 m apart; argmax finds the first conflicting hop
+        d_conf = (jnp.argmax(conf_hop, axis=1).astype(jnp.float32) + 1.0) * 2.0
+        near_ego = jnp.linalg.norm(veh_pos - ego_pos[None], axis=-1) < 40.0
+        # exempt vehicles whose BODY is already inside the band — they must
+        # drive on and clear, not freeze in the ego's corridor. A d_conf
+        # floor cannot express this (path hops start 2 m ahead, so d_conf
+        # >= 2 even for a vehicle standing mid-band), and exempting small
+        # d_conf instead let late-registering arrivals sail in and wedge.
+        d_self = jnp.min(
+            jnp.linalg.norm(
+                veh_pos[:, None, :] - ego_route[None, :, :], axis=-1
+            ), axis=1)
+        in_band = d_self < (veh_ext[:, 1] + ego_ext[1] + 3.0)
+        courteous = (
+            (ego_slow_s > 25.0) & has_conf & near_ego & ~in_band
+        )
+        gap = jnp.where(courteous, jnp.minimum(gap, d_conf - 8.0), gap)
+
     # per-vehicle cruise diversity ≈ TrafficManager's per-vehicle speed
     # percentage differences (behavior profiles): deterministic golden-ratio
     # spread of 0.8x..1.2x over the slots
@@ -414,5 +472,10 @@ def traffic_policy(
             gap_front=gap_front, d_red=d_red,
             yielding=must_yield | lane_conflict, hold=hold,
             v_turn=v_turn, v_des=v_des,
+            courteous=(courteous if ego_route is not None
+                       else jnp.zeros((V,), bool)),
+            court_d_conf=(jnp.where(has_conf, d_conf, 1e4)
+                          if ego_route is not None
+                          else jnp.full((V,), 1e4)),
         )
     return yaw_rate, accel, new_wp, loop_jump
