@@ -158,3 +158,84 @@ def test_curb_requires_sidewalk_and_not_road(small_cfg, town):
 
     final2 = run2(state2)
     assert int(final2.criteria.n_collision_static) >= 1
+
+
+def test_courtesy_yield_holds_short_of_conflict(small_cfg, town):
+    """Liveness rule (sim/traffic.py courtesy yield): once the ego has been
+    slow > 25 s, an NPC whose lane path crosses the ego's upcoming route
+    holds back; below the latch it drives; a vehicle already inside the
+    conflict band is exempt (it must clear, not freeze in the corridor)."""
+    from thinktwice_tpu.sim.traffic import traffic_policy
+
+    cfg = small_cfg.sim
+    lane_pts = np.asarray(town.lane_pts)
+    lane_yaw = np.asarray(town.lane_yaw)
+    lane_next = np.asarray(town.lane_next)
+    lane_valid = np.asarray(town.lane_valid)
+
+    # pick a lane waypoint whose next 8 hops are straight (constant yaw)
+    k = None
+    for i in range(len(lane_pts)):
+        if not lane_valid[i]:
+            continue
+        hops, j, ok = [], i, True
+        for _ in range(8):
+            j = int(lane_next[j])
+            hops.append(j)
+            if abs((lane_yaw[j] - lane_yaw[i] + np.pi) % (2 * np.pi) - np.pi) > 0.05:
+                ok = False
+                break
+        if ok and np.linalg.norm(lane_pts[hops[-1]] - lane_pts[i]) > 12.0:
+            k = i
+            break
+    assert k is not None
+    p0 = lane_pts[k]
+    h = lane_yaw[k]
+    fwd = np.array([np.cos(h), np.sin(h)])
+    left = np.array([-fwd[1], fwd[0]])
+
+    # ego route crosses the NPC's path perpendicular, ~11 m ahead of it
+    cross = p0 + 11.0 * fwd
+    ego_route = jnp.asarray(
+        cross[None, :] + np.linspace(-8, 7, 16)[:, None] * left[None, :],
+        jnp.float32,
+    )
+    ego_pos = jnp.asarray(cross - 8.0 * left, jnp.float32)  # waiting nearby
+
+    V = 4
+    veh_pos = jnp.tile(jnp.asarray(p0, jnp.float32)[None], (V, 1))
+    veh_pos = veh_pos.at[1:].add(1e3)  # park the other slots far away
+    veh_yaw = jnp.full((V,), h, jnp.float32)
+    veh_speed = jnp.full((V,), 5.0, jnp.float32)
+    veh_ext = jnp.tile(jnp.asarray([2.45, 1.06], jnp.float32)[None], (V, 1))
+    veh_wp = jnp.full((V,), k, jnp.int32)
+    veh_active = jnp.asarray([True, False, False, False])
+    no_walkers = jnp.zeros((0, 2), jnp.float32)
+
+    def run(slow_s, npc_pos=None):
+        vp = veh_pos if npc_pos is None else veh_pos.at[0].set(npc_pos)
+        _, accel, _, _, dbg = traffic_policy(
+            cfg, town, jnp.zeros_like(town.tl_valid, jnp.int32),
+            vp, veh_yaw, veh_speed, veh_ext, veh_wp, veh_active,
+            jnp.asarray(ego_pos), jnp.asarray(h + np.pi / 2, jnp.float32),
+            jnp.asarray([2.45, 1.06], jnp.float32),
+            jnp.asarray(0.0, jnp.float32),
+            no_walkers, jnp.zeros((0, 2), jnp.float32),
+            jnp.zeros((0,), bool),
+            ego_route=ego_route,
+            ego_slow_s=jnp.asarray(slow_s, jnp.float32),
+            debug=True,
+        )
+        return accel, dbg
+
+    accel_held, dbg_held = run(30.0)
+    assert bool(dbg_held["courteous"][0])
+    assert float(accel_held[0]) < -1.0  # braking for the held conflict
+
+    accel_free, dbg_free = run(10.0)
+    assert not bool(dbg_free["courteous"][0])
+    assert float(accel_free[0]) > float(accel_held[0])
+
+    # body already inside the band (standing on the ego route): exempt
+    _, dbg_in = run(30.0, npc_pos=jnp.asarray(cross, jnp.float32))
+    assert not bool(dbg_in["courteous"][0])

@@ -27,6 +27,23 @@ distributions.BetaDistribution.proba_distribution_net):
 plus the legacy `cnn.{0,2,4,6,8,10}` numbering (remapped exactly like
 `PpoPolicy.load`). Torch Conv2d weights are OIHW -> flax HWIO; Linear
 weights are (out, in) -> flax (in, out).
+
+Why there is deliberately NO converter for the flagship ~100M ThinkTwice
+model checkpoint (load site:
+`leaderboard/team_code/thinktwice_agent.py:168-172`, mmcv `load_checkpoint`
+naming): that model was re-designed TPU-first with GroupNorm throughout
+(`models/layers.py:ConvGN`) where the reference uses BatchNorm2d
+(`encoder_decoder_framework.py:83`). BatchNorm running statistics have no
+GroupNorm counterpart, and folding them into the preceding conv (the
+standard inference-time trick) would still be re-normalized by GN, so no
+weight mapping can reproduce the reference forward pass — exact conversion
+is impossible by construction, and an approximate one would produce a
+silently-degraded model while claiming parity. The reference also ships no
+.pth for it anywhere in-repo, so there is no artifact to validate against.
+A user holding the published checkpoint should distill instead:
+`scripts/train_student_town05.py` reproduces the training pipeline
+end-to-end. (The Roach policy above has no BN — its conversion IS exact,
+see tests/test_convert_torch.py.)
 """
 
 from __future__ import annotations
