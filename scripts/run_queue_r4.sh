@@ -43,21 +43,23 @@ echo "[queue] student full eval exit $? at $(date)"
 
 # 3) Longest6 Town03 autopilot at true density with the liveness fixes
 timeout 5400 python scripts/eval_longest6.py --towns Town03 \
-    --out runs/autopilot_longest6_v3_Town03.json \
+    --out runs/autopilot_longest6_v3.json \
     > runs/longest6_v3_town03.log 2>&1
 echo "[queue] longest6 Town03 exit $? at $(date)"
 
 # 4) learned-expert Longest6 (first-ever learned driver on this benchmark)
 timeout 5400 python scripts/eval_longest6.py --towns Town02 --agent expert \
     --ckpt runs/roach_rl6/params.msgpack \
-    --out runs/expert_rl6_longest6_Town02.json \
+    --out runs/expert_rl6_longest6.json \
     > runs/longest6_rl6_town02.log 2>&1
 echo "[queue] expert longest6 Town02 exit $? at $(date)"
 
-# 5) remaining autopilot towns at true density (as time allows)
-for T in Town04 Town05 Town06; do
+# 5) remaining autopilot towns at true density (as time allows);
+# each invocation re-merges every existing v3 per-town ledger into the
+# 36-route document
+for T in Town04 Town05 Town06 Town01 Town02; do
   timeout 5400 python scripts/eval_longest6.py --towns "$T" \
-      --out "runs/autopilot_longest6_v3_${T}.json" \
+      --out runs/autopilot_longest6_v3.json \
       > "runs/longest6_v3_${T,,}.log" 2>&1
   echo "[queue] longest6 $T exit $? at $(date)"
 done
