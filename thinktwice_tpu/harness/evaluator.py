@@ -318,6 +318,16 @@ def evaluate_routes(
                 duration_system_s=wall / len(chunk),
             )
             records.append(compute_route_statistics(rr, stop_penalty))
+        if out_path:
+            # checkpoint after EVERY batch: the tunneled TPU worker can crash
+            # mid-run (UNAVAILABLE kernel fault) and route-level --resume only
+            # helps if completed batches actually hit disk (the reference's
+            # statistics_manager writes after every route the same way)
+            save_results(
+                out_path,
+                records,
+                compute_global_statistics(records, total_routes=len(routes)),
+            )
 
     g = compute_global_statistics(records, total_routes=len(routes))
     if out_path:
