@@ -187,6 +187,17 @@ def main():
             seed=args.seed,
             verbose=True,
         )
+        # stamp the producing agent/ckpt + a timestamp into the ledger so
+        # the merge below can refuse stale records (ADVICE r4)
+        import time as _time
+
+        _doc = json.load(open(town_out))
+        _doc["agent_identity"] = (
+            f"{args.agent}:{args.ckpt if args.agent != 'autopilot' else '-'}"
+        )
+        _doc["produced_at"] = _time.strftime("%Y-%m-%dT%H:%M:%S")
+        with open(town_out, "w") as f:
+            json.dump(_doc, f, indent=2)
 
     from thinktwice_tpu.harness.result_writer import print_results
     from thinktwice_tpu.harness.statistics import (
@@ -201,10 +212,21 @@ def main():
     # autopilot_longest6_v2.json ended up holding only Town03).
     records = []
     merged_towns = []
+    ident = f"{args.agent}:{args.ckpt if args.agent != 'autopilot' else '-'}"
     for town_name in TOWNS:
         p = out.replace(".json", f"_{town_name}.json")
         if os.path.exists(p):
-            records.extend(load_results(p)["_checkpoint"]["records"])
+            doc = load_results(p)
+            # stale-merge guard: per-town ledgers carry the agent/ckpt that
+            # produced them; a rerun after retraining must not silently mix
+            # old records into the 36-route document (ADVICE r4)
+            led_id = doc.get("agent_identity")
+            if led_id is not None and led_id != ident:
+                print(f"WARNING: skipping {p}: ledger identity {led_id!r} "
+                      f"!= this invocation {ident!r} (rerun that town or "
+                      f"move the stale ledger aside)")
+                continue
+            records.extend(doc["_checkpoint"]["records"])
             merged_towns.append(town_name)
     g = compute_global_statistics(records, total_routes=len(all_specs))
     save_results(out, records, g)

@@ -69,7 +69,7 @@ def test_unreachable_lateral_sign_does_not_bind_autopilot(small_cfg, town):
         speed=jnp.asarray(0.0, jnp.float32),
     )
     st = dataclasses.replace(st, ego=ego)
-    _, _, v_sign = red_sign_caps(small_cfg, town, st)
+    _, _, v_sign, _ = red_sign_caps(small_cfg, town, st)
     assert float(v_sign) > 1.0, float(v_sign)  # not pinned by the far sign
 
     # control: directly upstream of the sign (in lane), it DOES bind
@@ -77,5 +77,5 @@ def test_unreachable_lateral_sign_does_not_bind_autopilot(small_cfg, town):
         st.ego, pos=jnp.asarray(sp[k] - 6.0 * fwd + 1.5 * left, jnp.float32)
     )
     st2 = dataclasses.replace(st, ego=ego2)
-    _, _, v_sign2 = red_sign_caps(small_cfg, town, st2)
+    _, _, v_sign2, _ = red_sign_caps(small_cfg, town, st2)
     assert float(v_sign2) < 6.0, float(v_sign2)

@@ -98,7 +98,7 @@ def red_sign_caps(cfg: Config, town: TownMap, state: WorldState):
     )
     d_sign = jnp.min(jnp.where(pending, jnp.maximum(ahead, 0.0), 1e4))
     v_sign = jnp.where(d_sign < 12.0, _stop_profile(d_sign, 1.5), CRUISE)
-    return v_red, d_red, v_sign
+    return v_red, d_red, v_sign, d_sign
 
 
 def junction_yield(cfg: Config, town: TownMap, state: WorldState):
@@ -155,10 +155,14 @@ def junction_yield(cfg: Config, town: TownMap, state: WorldState):
     )
     d_conf = jnp.min(jnp.where(jnp.any(conflict, axis=1),
                                cum[yidx] - cum[idx], 1e4))
+    # activation horizon from the window's ACTUAL arc length, not the point
+    # count: W_YLD points only span W_YLD-1 meters at dense(spacing=1.0);
+    # any other spacing would silently misscale the yield horizon (ADVICE r4)
+    w_arc = cum[yidx[-1]] - cum[idx]
     v_yield = jnp.where(
-        d_conf < float(W_YLD) - 1.0, _stop_profile(d_conf, 3.0), CRUISE
+        d_conf < w_arc - 1.0, _stop_profile(d_conf, 3.0), CRUISE
     )
-    return v_yield, d_conf
+    return v_yield, d_conf, w_arc
 
 
 def autopilot_control(cfg: Config, town: TownMap, state: WorldState,
@@ -220,10 +224,10 @@ def autopilot_control(cfg: Config, town: TownMap, state: WorldState,
     v_gap = jnp.clip((gap - 2.5) / 1.2, 0.0, CRUISE)
 
     # ---- unsignalized-junction yield (shared helper; see junction_yield) --
-    v_yield, d_conf = junction_yield(cfg, town, state)
+    v_yield, d_conf, _ = junction_yield(cfg, town, state)
 
     # ---- red lights + stop signs (shared with the expert's rule brake) ----
-    v_red, d_red, v_sign = red_sign_caps(cfg, town, state)
+    v_red, d_red, v_sign, _ = red_sign_caps(cfg, town, state)
 
     v_des = jnp.minimum(
         jnp.minimum(v_curve, v_gap),

@@ -169,16 +169,19 @@ def expert_control(
     # the exact stop-line geometry the criteria charge (autopilot's caps).
     from thinktwice_tpu.agents.autopilot import junction_yield, red_sign_caps
 
-    v_red, d_red, v_sign = red_sign_caps(cfg, town, state)
+    v_red, d_red, v_sign, d_sign = red_sign_caps(cfg, town, state)
     spd = state.ego.speed
     brake_red = ((d_red < 30.0) & (spd > v_red + 0.5)) | (d_red < 4.5)
-    brake_sign = (spd > v_sign + 0.5) | (v_sign < 0.2)
+    # proximity-gated like brake_red: without the d_sign gate, the no-sign
+    # case (v_sign = CRUISE) force-braked the expert anywhere above
+    # CRUISE + 0.5 m/s — a hidden global speed cap (ADVICE r4)
+    brake_sign = ((d_sign < 12.0) & (spd > v_sign + 0.5)) | (v_sign < 0.2)
     # junction-entry yield (same deadlock geometry as the autopilot's — the
     # expert wedged Town05 Long route 18 at 31% the same way): hold before
     # the crossing stream; once the crosser stops, the cone above paces it
     # and the 20 s NPC recycle clears the mouth.
-    v_yield, d_conf = junction_yield(cfg, town, state)
-    brake_yield = ((d_conf < 21.0) & (spd > v_yield + 0.5)) | (d_conf < 4.0)
+    v_yield, d_conf, w_arc = junction_yield(cfg, town, state)
+    brake_yield = ((d_conf < w_arc - 1.0) & (spd > v_yield + 0.5)) | (d_conf < 4.0)
     brake_now = brake_now | brake_red | brake_sign | brake_yield
     only_ap_brake = brake_now & (control[2] < 0.5)
     control = jnp.where(

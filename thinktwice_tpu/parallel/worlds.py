@@ -47,7 +47,8 @@ def batched_rollout(
     policy_fn(cfg, town, state) -> (3,) control, applied per world via vmap.
     With a mesh, world batches are sharded over the `worlds` axis and each
     device scans its shard locally (no cross-device traffic inside the loop).
-    Returns (final_states, event_counts dict).
+    Returns the final stacked WorldState; aggregate event counts from it
+    with summarize_events().
     """
 
     def body(carry, _):

@@ -31,6 +31,7 @@ from thinktwice_tpu.sim.state import (
     WalkerState,
     WorldState,
 )
+from thinktwice_tpu.sim import traffic as traffic_mod
 from thinktwice_tpu.sim.traffic import traffic_policy
 
 
@@ -107,6 +108,9 @@ def step_world(
 
     # --- traffic -----------------------------------------------------------
     tr = scen_traffic
+    route_win = jax.lax.dynamic_slice_in_dim(
+        state.route, state.criteria.route_idx, 16
+    )
     yaw_rate, accel, new_wp, loop_jump = traffic_policy(
         sim,
         town,
@@ -124,10 +128,11 @@ def step_world(
         walkers.pos,
         walkers.extent,
         walkers.active,
-        ego_route=jax.lax.dynamic_slice_in_dim(
-            state.route[:, :2], state.criteria.route_idx, 16
-        ),
+        ego_route=route_win[:, :2],
         ego_slow_s=state.criteria.slow_s,
+        # a lawful red-light wait must not trigger the courtesy yield:
+        # cross traffic with the green keeps flowing (ADVICE r4)
+        ego_held_red=traffic_mod.ego_red_ahead(town, tl_states, route_win),
     )
     # scenario speed caps (lead-vehicle brake): clamp desired accel so speed
     # decays toward the cap

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from thinktwice_tpu.config import SimConfig
-from thinktwice_tpu.geometry import wrap_angle
+from thinktwice_tpu.geometry import segments_intersect, wrap_angle
 from thinktwice_tpu.maps.town import TownMap, TL_RED, TL_YELLOW
 
 # bumper gap (m) at which a follower's desired speed reaches 0. Yield /
@@ -248,6 +248,25 @@ def _red_light_dist(town: TownMap, tl_states, pos, yaw):
     return jnp.where(stopping & (d_near < 1e3), d_near, 1e4)
 
 
+def ego_red_ahead(town: TownMap, tl_states, route_win):
+    """True when a red/yellow stop line crosses the ego's next ~15 m of
+    route (route_win: (W, 3) x/y/yaw window) — the ego is lawfully held, so
+    traffic_policy's courtesy yield must stay off (see courteous below).
+    Same stop-line-crossing geometry the red-light criterion charges
+    (criteria.py RunningRedLightTest) and the autopilot's d_red uses."""
+    pts = route_win[:, :2]
+    seg_yaw = route_win[:-1, 2]
+    crossing = segments_intersect(
+        pts[:-1, None], pts[1:, None],
+        town.tl_stopline[None, :, 0], town.tl_stopline[None, :, 1],
+    )                                                        # (W-1, NL)
+    hd_ok = jnp.abs(
+        wrap_angle(town.tl_yaw[None, :] - seg_yaw[:, None])
+    ) < jnp.pi / 3
+    stopping = (tl_states == TL_RED) | (tl_states == TL_YELLOW)
+    return jnp.any(crossing & hd_ok & stopping[None, :] & town.tl_valid[None, :])
+
+
 def traffic_policy(
     cfg: SimConfig,
     town: TownMap,
@@ -267,6 +286,7 @@ def traffic_policy(
     wlk_active,
     ego_route=None,
     ego_slow_s=0.0,
+    ego_held_red=False,
     debug: bool = False,
 ):
     """Compute (yaw_rate, accel, new_wp_idx) for all traffic vehicles.
@@ -397,10 +417,14 @@ def traffic_policy(
     # NPC_YIELD_GAP) parked it inside the ego's own corridor, and a 3 m
     # hold-back still blocked the ego at junctions where the opposing turn
     # lane passes within ~1-2 m of the ego's waiting spot (Town03 r15) —
-    # so held NPCs stop ~10 m short, and an NPC already too close to stop
-    # that far out (d_conf <= 9 m) keeps driving and clears. Self-
-    # releasing: once the ego passes 2 m/s, slow_s resets and the held
-    # stream resumes.
+    # so held NPCs stop ~10 m short; only an NPC whose BODY already sits
+    # inside the ego-route band (~in_band below) is exempt and drives on to
+    # clear. Self-releasing: once the ego passes 2 m/s, slow_s resets and
+    # the held stream resumes. While the ego is held by a RED LIGHT the
+    # rule is suppressed entirely (ego_held_red): a lawful red wait says
+    # nothing about junction saturation, and holding green cross-traffic
+    # every light cycle would both deadlock flows and make benchmarks
+    # easier than reference conditions (ADVICE r4).
     if ego_route is not None:
         dseg = jnp.linalg.norm(
             path[:, :, None, :] - ego_route[None, None, :, :], axis=-1
@@ -430,6 +454,7 @@ def traffic_policy(
         in_band = d_self < (veh_ext[:, 1] + ego_ext[1] + 3.0)
         courteous = (
             (ego_slow_s > 25.0) & has_conf & near_ego & ~in_band
+            & jnp.logical_not(ego_held_red)
         )
         gap = jnp.where(courteous, jnp.minimum(gap, d_conf - 8.0), gap)
 
