@@ -84,6 +84,12 @@ def main():
                     help="microbatches per step (must divide the batch "
                          "worlds*(frames_per_chunk-pred_len-(sweeps-1))); "
                          "bounds activation HBM to one microbatch")
+    ap.add_argument("--lr-total-steps", type=int, default=60_000,
+                    help="cosine-decay horizon (TrainConfig.total_steps): "
+                         "set to the planned TOTAL optimizer steps so the "
+                         "LR actually anneals over the run instead of "
+                         "sitting at peak (the reference's cosine spans its "
+                         "full 60-epoch budget, configs/thinktwice.py:288)")
     ap.add_argument("--reuse", type=int, default=1,
                     help="optimizer steps per collected chunk (fresh "
                          "mirror/IDA augmentation per use; amortizes the "
@@ -114,7 +120,8 @@ def main():
             max_route_len=MAX_ROUTE_LEN,
             max_scenarios=4,
         ),
-        train=TrainConfig(grad_accum=args.grad_accum),
+        train=TrainConfig(grad_accum=args.grad_accum,
+                          total_steps=args.lr_total_steps),
     )
 
     # adversarial-scenario bank per route (the reference's collection runs

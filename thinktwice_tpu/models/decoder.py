@@ -50,25 +50,27 @@ class BEVPyramid(nn.Module):
     32x21x21 -> 64x10x10 -> 128x4x4 -> 256x2x2 -> fc 256. The mid features
     mirror Roach's XtMaCNN grids for distillation."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, grid32):
         """grid32 (B, 21, 21, 32) -> (flat (B, 256), mids tuple)."""
-        f10 = SEBasicBlock(64, name="MLP10")(
+        f10 = SEBasicBlock(64, name="MLP10", dtype=self.dtype)(
             nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), padding="VALID",
-                            name="conv21_10")(grid32))
+                            name="conv21_10", dtype=self.dtype)(grid32))
         )
-        f4 = SEBasicBlock(128, name="MLP4")(
+        f4 = SEBasicBlock(128, name="MLP4", dtype=self.dtype)(
             nn.relu(nn.Conv(128, (3, 3), strides=(2, 2), padding="VALID",
-                            name="conv10_4")(f10))
+                            name="conv10_4", dtype=self.dtype)(f10))
         )
-        f2 = SEBasicBlock(256, name="MLP2")(
+        f2 = SEBasicBlock(256, name="MLP2", dtype=self.dtype)(
             nn.relu(nn.Conv(256, (3, 3), strides=(1, 1), padding="VALID",
-                            name="conv4_2")(f4))
+                            name="conv4_2", dtype=self.dtype)(f4))
         )
         flat = f2.reshape(f2.shape[0], -1)                    # (B, 1024)
-        flat = nn.relu(nn.Dense(512)(flat))
-        flat = nn.LayerNorm()(flat)
-        flat = nn.relu(nn.Dense(256)(flat))
+        flat = nn.relu(nn.Dense(512, dtype=self.dtype)(flat))
+        flat = nn.LayerNorm(dtype=self.dtype)(flat)
+        flat = nn.relu(nn.Dense(256, dtype=self.dtype)(flat))
         return flat, (grid32, f10, f4, f2)
 
 
@@ -77,13 +79,16 @@ class SpatialGRU(nn.Module):
     (dense_heads/utils.py:53-106)."""
 
     hidden: int = 32
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, inputs, state):
         """inputs (B, T, H, W, Cin); state (B, H, W, hidden) ->
         (B, T, H, W, hidden)."""
-        gru_zr = nn.Conv(2 * self.hidden, (3, 3), padding="SAME", name="zr")
-        gru_h = nn.Conv(self.hidden, (3, 3), padding="SAME", name="h")
+        gru_zr = nn.Conv(2 * self.hidden, (3, 3), padding="SAME", name="zr",
+                         dtype=self.dtype)
+        gru_h = nn.Conv(self.hidden, (3, 3), padding="SAME", name="h",
+                        dtype=self.dtype)
         T = inputs.shape[1]
         h = state
         outs = []
@@ -100,6 +105,8 @@ class SpatialGRU(nn.Module):
 class PredictionModule(nn.Module):
     """(thinktwice_decoder.py:26-46)"""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, bev32, wp, ctrl_sp, prev_future):
         """bev32 (B, 21, 21, 32); wp (B, T, 2); ctrl_sp (B, T, 4);
@@ -108,12 +115,13 @@ class PredictionModule(nn.Module):
         Hh, Ww = bev32.shape[1], bev32.shape[2]
         cmd = jnp.concatenate([wp, ctrl_sp], axis=-1)          # (B, T, 6)
         cmd = jnp.broadcast_to(cmd[:, :, None, None, :], (B, T, Hh, Ww, 6))
-        future = SpatialGRU(32)(cmd, bev32)
+        future = SpatialGRU(32, dtype=self.dtype)(cmd, bev32)
         if prev_future is not None:
             x = future.reshape(B * T, Hh, Ww, 32)
-            h = nn.relu(nn.Conv(64, (1, 1))(x))
-            h = nn.relu(nn.Conv(32, (3, 3), padding="SAME")(h))
-            h = nn.Conv(32, (1, 1))(h)
+            h = nn.relu(nn.Conv(64, (1, 1), dtype=self.dtype)(x))
+            h = nn.relu(nn.Conv(32, (3, 3), padding="SAME",
+                                dtype=self.dtype)(h))
+            h = nn.Conv(32, (1, 1), dtype=self.dtype)(h)
             future = (h.reshape(B, T, Hh, Ww, 32) + prev_future)
         return future
 
@@ -152,6 +160,7 @@ class MSDeformAttn(nn.Module):
     n_heads: int = 8
     n_levels: int = 4
     n_points: int = 8
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, query, ref_points, value, spatial_shapes):
@@ -159,20 +168,29 @@ class MSDeformAttn(nn.Module):
         (B, sum HW, dim) channel-fused -> (B, Q, dim)."""
         B, Q, _ = query.shape
         h, l, p = self.n_heads, self.n_levels, self.n_points
-        offsets = nn.Dense(h * l * p * 2, name="sampling_offsets")(query)
+        offsets = nn.Dense(h * l * p * 2, name="sampling_offsets",
+                           dtype=self.dtype)(query)
         offsets = offsets.reshape(B, Q, h, l, p, 2)
-        weights = nn.Dense(h * l * p, name="attention_weights")(query)
+        weights = nn.Dense(h * l * p, name="attention_weights",
+                           dtype=self.dtype)(query)
         weights = jax.nn.softmax(
             weights.reshape(B, Q, h, l * p), axis=-1
         ).reshape(B, Q, h, l, p)
 
-        # normalize offsets by each level's size
+        # normalize offsets by each level's size; sampling locations stay
+        # f32 — bf16 has only 8 mantissa bits, not enough for sub-pixel
+        # positions on a 128-wide map
         norm = jnp.asarray(
             [[wl, hl] for hl, wl in spatial_shapes], jnp.float32
         )                                                      # (l, 2)
-        locs = ref_points[:, :, None, None, None, :] + offsets / norm[None, None, None, :, None, :]
-        out = ms_deform_attn(value, spatial_shapes, locs, weights)
-        return nn.Dense(self.dim, name="output_proj")(out)
+        locs = (
+            ref_points[:, :, None, None, None, :].astype(jnp.float32)
+            + offsets.astype(jnp.float32)
+            / norm[None, None, None, :, None, :]
+        )
+        out = ms_deform_attn(value, spatial_shapes, locs,
+                             weights.astype(value.dtype))
+        return nn.Dense(self.dim, name="output_proj", dtype=self.dtype)(out)
 
 
 class SpatialCrossAttention(nn.Module):
@@ -182,6 +200,7 @@ class SpatialCrossAttention(nn.Module):
 
     dim: int = 256
     n_heads: int = 8
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, queries, ref_cam, valid, value_cams, spatial_shapes):
@@ -189,30 +208,32 @@ class SpatialCrossAttention(nn.Module):
         ref_cam (B, N, Q, 2); valid (B, N, Q); value_cams
         (N, B, sumHW, dim) channel-fused."""
         B, N, Q, _ = queries.shape
-        q = nn.Dense(self.dim, name="query_proj")(queries)
+        q = nn.Dense(self.dim, name="query_proj", dtype=self.dtype)(queries)
 
-        attn = MSDeformAttn(self.dim, n_heads=self.n_heads, name="deform_attn")
+        attn = MSDeformAttn(self.dim, n_heads=self.n_heads, name="deform_attn",
+                            dtype=self.dtype)
         outs = []
         for cam in range(N):  # static unroll over 4 cameras
             o = attn(q[:, cam], ref_cam[:, cam], value_cams[cam], spatial_shapes)
             outs.append(o)
         out = jnp.stack(outs, axis=1)                          # (B, N, Q, dim)
-        out = out * valid[..., None]
+        out = out * valid[..., None].astype(out.dtype)
         # camera-count normalization (reference divides by per-query count)
         cnt = jnp.maximum(valid.sum(axis=1), 1.0)              # (B, Q)
-        per_query = out.sum(axis=1) / cnt[..., None]           # (B, Q, dim)
+        per_query = out.sum(axis=1) / cnt[..., None].astype(out.dtype)
         # pool across queries (valid-weighted mean) -> per-sample feature
-        qv = (valid.any(axis=1)).astype(jnp.float32)           # (B, Q)
+        qv = (valid.any(axis=1)).astype(out.dtype)             # (B, Q)
         pooled = (per_query * qv[..., None]).sum(axis=1) / jnp.maximum(
             qv.sum(axis=1, keepdims=True), 1.0
         )
-        pooled = nn.relu(nn.Dense(self.dim)(pooled))
-        return nn.Dense(self.dim, name="ffn_out")(pooled)      # (B, dim)
+        pooled = nn.relu(nn.Dense(self.dim, dtype=self.dtype)(pooled))
+        return nn.Dense(self.dim, name="ffn_out", dtype=self.dtype)(pooled)
 
 
 class LookModule(nn.Module):
     cfg: ModelConfig
     use_lidar_look: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, wp, ctrl_sp, measurement, flat_feat, ego2img,
@@ -282,7 +303,8 @@ class LookModule(nn.Module):
             [jnp.broadcast_to(base_q[:, None], (B, N, P * Z, base_q.shape[-1])), sampled],
             axis=-1,
         )
-        img_look = SpatialCrossAttention(256, m.n_attn_heads, name="cam_look")(
+        img_look = SpatialCrossAttention(256, m.n_attn_heads, name="cam_look",
+                                         dtype=self.dtype)(
             queries, ref_cam, valid.astype(jnp.float32),
             fpn_value["flat"], spatial_shapes,
         )                                                      # (B, 256)
@@ -296,7 +318,7 @@ class LookModule(nn.Module):
                  jnp.broadcast_to(temporal_emb[None], (B, T, temporal_emb.shape[-1]))],
                 axis=-1,
             )
-            attn_w = nn.sigmoid(MLP([256, 512])(attn_in))       # (B, T, 512)
+            attn_w = nn.sigmoid(MLP([256, 512], dtype=self.dtype)(attn_in))
             # sample a 3x3 neighborhood around each wp in normalized coords
             nx = (wp[..., 0] - self.cfg.bev_x_min) / (self.cfg.bev_x_max - self.cfg.bev_x_min)
             ny_ = (wp[..., 1] - self.cfg.bev_y_min) / (self.cfg.bev_y_max - self.cfg.bev_y_min)
@@ -308,15 +330,18 @@ class LookModule(nn.Module):
                  jnp.broadcast_to(gy, (B, T, 3, 3))], axis=-1
             ).reshape(B, T * 9, 2) * 2 - 1
             samp = jax.vmap(grid_sample_norm)(lidar_hr, grid)   # (B, T*9, 512)
-            samp = samp.reshape(B, T, 9, -1) * attn_w[:, :, None, :]
-            lid = nn.relu(nn.Dense(128)(samp)).reshape(B, T, 9 * 128)
-            lidar_look = MLP([256], final_act=True)(lid)        # (B, T, 256)
+            samp = samp.reshape(B, T, 9, -1) * attn_w[:, :, None, :].astype(samp.dtype)
+            lid = nn.relu(nn.Dense(128, dtype=self.dtype)(samp)).reshape(
+                B, T, 9 * 128)
+            lidar_look = MLP([256], final_act=True, dtype=self.dtype)(lid)
         else:
-            lidar_look = jnp.zeros((B, T, 256))
+            lidar_look = jnp.zeros((B, T, 256), img_look_t.dtype)
         if not self.use_lidar_look:
             lidar_look = jnp.zeros_like(lidar_look)
 
-        return jnp.concatenate([img_look_t, lidar_look], axis=-1)  # (B, T, 512)
+        return jnp.concatenate(
+            [img_look_t, lidar_look.astype(img_look_t.dtype)], axis=-1
+        )                                                      # (B, T, 512)
 
 
 class DecoderLayer(nn.Module):
@@ -324,6 +349,7 @@ class DecoderLayer(nn.Module):
 
     cfg: ModelConfig
     use_lidar_look: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, bev32, wp, ctrl, prev_future, measurement, flat_feat,
@@ -333,7 +359,7 @@ class DecoderLayer(nn.Module):
         B, T = wp.shape[0], wp.shape[1]
         ctrl_sp = nn.softplus(ctrl)
 
-        future = PredictionModule(name="prediction")(
+        future = PredictionModule(name="prediction", dtype=self.dtype)(
             bev32, wp, ctrl_sp, prev_future
         )                                                      # (B, T, 21, 21, 32)
         flat_future, _ = pyramid(
@@ -341,7 +367,8 @@ class DecoderLayer(nn.Module):
         )
         flat_future = flat_future.reshape(B, T, 256)
 
-        look = LookModule(m, self.use_lidar_look, name="look")(
+        look = LookModule(m, self.use_lidar_look, name="look",
+                          dtype=self.dtype)(
             wp, ctrl_sp, measurement, flat_feat, ego2img, fpn_value,
             spatial_shapes, temporal_emb, static_emb, lidar_hr, ida,
         )                                                      # (B, T, 512)
@@ -349,34 +376,45 @@ class DecoderLayer(nn.Module):
         x = jnp.concatenate(
             [
                 flat_future,
-                look,
-                jnp.broadcast_to(temporal_emb[None], (B, T, temporal_emb.shape[-1])),
-                jnp.broadcast_to(measurement[:, None, :], (B, T, measurement.shape[-1])),
+                look.astype(flat_future.dtype),
+                jnp.broadcast_to(temporal_emb[None], (B, T, temporal_emb.shape[-1])).astype(flat_future.dtype),
+                jnp.broadcast_to(measurement[:, None, :], (B, T, measurement.shape[-1])).astype(flat_future.dtype),
             ],
             axis=-1,
         )
-        x = nn.LayerNorm()(x)
-        x = MLP([512, 512], final_act=True)(x)                 # (B, T, 512)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = MLP([512, 512], final_act=True, dtype=self.dtype)(x)
 
-        traj_offset = MLP([256, 64, 2])(jnp.concatenate([wp, x], axis=-1))
-        ctrl_offset = MLP([256, 64, 4])(jnp.concatenate([ctrl, x], axis=-1))
+        # offset heads in f32: the residual refinements are small numbers
+        # added onto f32 wp/ctrl state across 5 cascaded layers
+        traj_offset = MLP([256, 64, 2])(
+            jnp.concatenate([wp, x.astype(jnp.float32)], axis=-1))
+        ctrl_offset = MLP([256, 64, 4])(
+            jnp.concatenate([ctrl, x.astype(jnp.float32)], axis=-1))
 
         # DETR-style residual updates (:404-418)
         xf = x.reshape(B, T * 512)
         bev_in = jnp.concatenate(
-            [bev32, jnp.broadcast_to(xf[:, None, None, :], (B, 21, 21, T * 512))],
+            [bev32.astype(xf.dtype),
+             jnp.broadcast_to(xf[:, None, None, :], (B, 21, 21, xf.shape[-1]))],
             axis=-1,
         )
-        h = nn.relu(nn.Conv(128, (3, 3), padding="SAME")(bev_in))
-        new_bev = nn.Conv(32, (3, 3), padding="SAME")(h) + bev32
-
-        new_flat = MLP([512, 256])(jnp.concatenate([flat_feat, xf], axis=-1)) + flat_feat
+        h = nn.relu(nn.Conv(128, (3, 3), padding="SAME",
+                            dtype=self.dtype)(bev_in))
+        new_bev = nn.Conv(32, (3, 3), padding="SAME",
+                          dtype=self.dtype)(h) + bev32
+        new_flat = MLP([512, 256], dtype=self.dtype)(
+            jnp.concatenate([flat_feat, xf.astype(flat_feat.dtype)], axis=-1)
+        ) + flat_feat
         return traj_offset, ctrl_offset, future, new_bev, new_flat
 
 
 class ThinkTwiceDecoder(nn.Module):
     cfg: ModelConfig
     use_lidar_look: bool = False
+    dtype: Any = None                 # compute dtype of the refine cascade
+                                      # (bf16 from the flagship model); the
+                                      # coarse heads and wp/ctrl state stay f32
 
     @nn.compact
     def __call__(self, flat_feat, bev32, measurement, ego2img, fpn_value,
@@ -416,7 +454,8 @@ class ThinkTwiceDecoder(nn.Module):
         )
 
         layers = [
-            DecoderLayer(m, self.use_lidar_look, name=f"layer{i}")
+            DecoderLayer(m, self.use_lidar_look, name=f"layer{i}",
+                         dtype=self.dtype)
             for i in range(m.refine_num)
         ]
 

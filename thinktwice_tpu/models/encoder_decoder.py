@@ -77,10 +77,13 @@ class ThinkTwiceModel(nn.Module):
         )
         measurement = MLP([128, 128], final_act=True, name="measurements_encoder")(state)
 
-        # fusion (get_fusion_feat:213-235)
+        # fusion (get_fusion_feat:213-235) — bf16 like the trunks; the BEV
+        # state handed to the decoder cascade is cast back to f32 there
+        bf16 = jnp.bfloat16
         C = m.bev_channels
-        h = ConvGN(C)(cam_bev)
-        h = ConvGN(C, act=False)(h)
+        cam_bev = cam_bev.astype(bf16)
+        h = ConvGN(C, dtype=bf16)(cam_bev)
+        h = ConvGN(C, act=False, dtype=bf16)(h)
         cam_red = nn.relu(h + cam_bev)
 
         lidar_hr = None
@@ -88,20 +91,26 @@ class ThinkTwiceModel(nn.Module):
             lid = LidarNet(m, name="lidar_encoder")(points, points_mask)
             lid = bev_to_bird(lid)                             # (B, 84, 84, 512)
             lidar_hr = lid
-            p = ConvGN(C, stride=2)(lid)                       # 42
-            pts_red = ConvGN(C, stride=2)(p)                   # 21
-            f = ConvGN(C, act=False)(
-                ConvGN(C)(jnp.concatenate([cam_red, pts_red], axis=-1))
+            p = ConvGN(C, stride=2, dtype=bf16)(lid)           # 42
+            pts_red = ConvGN(C, stride=2, dtype=bf16)(p)       # 21
+            f = ConvGN(C, act=False, dtype=bf16)(
+                ConvGN(C, dtype=bf16)(
+                    jnp.concatenate([cam_red, pts_red], axis=-1))
             )
             bev_feats = nn.relu(f + cam_red + pts_red)
         else:
             bev_feats = cam_red
 
-        grid32 = SEBasicBlock(32, name="MLP21")(
-            nn.relu(nn.Conv(32, (3, 3), padding="SAME", name="_256_to_32")(bev_feats))
+        grid32 = SEBasicBlock(32, name="MLP21", dtype=bf16)(
+            nn.relu(nn.Conv(32, (3, 3), padding="SAME", name="_256_to_32",
+                            dtype=bf16)(bev_feats))
         )
-        pyramid = BEVPyramid(name="bev_pyramid")
+        # the 21x21x32 decoder state rides f32 residual chains (decoder.py);
+        # only the layer internals compute in bf16
+        grid32 = grid32.astype(jnp.float32)
+        pyramid = BEVPyramid(name="bev_pyramid", dtype=bf16)
         flat_feat, mids = pyramid(grid32)
+        flat_feat = flat_feat.astype(jnp.float32)
 
         # FPN features reorganized for the look module
         fpn = cam_out["fpn_feats"]
@@ -115,12 +124,16 @@ class ThinkTwiceModel(nn.Module):
         spatial_shapes = tuple((f.shape[1], f.shape[2]) for f in fpn)
         maps, flat_vals = [], []
         for lvl, f in enumerate(fpn):
-            f = nn.Conv(256, (1, 1), name=f"fpn_linear{lvl}")(f)
+            # bf16 value tensors: these (N, B, sumHW, 256) arrays and their
+            # per-refine-layer gather gradients dominated the decoder's HBM
+            # (OOM dump at microbatch 4, runs/profile_k7.log)
+            f = nn.Conv(256, (1, 1), name=f"fpn_linear{lvl}", dtype=bf16)(f)
             hw = f.shape[1] * f.shape[2]
             f = f.reshape(B, N, f.shape[1], f.shape[2], 256)
             maps.append(f)
             fv = f.reshape(B, N, hw, 256)
-            fv = fv + cam_embeds[None, :, None, :] + level_embeds[None, None, None, lvl]
+            fv = (fv + cam_embeds[None, :, None, :].astype(bf16)
+                  + level_embeds[None, None, None, lvl].astype(bf16))
             flat_vals.append(fv)
         value = jnp.concatenate(flat_vals, axis=2)             # (B, N, sumHW, 256)
         # channel-fused layout (heads split inside ms_deform_attn): a
@@ -129,7 +142,8 @@ class ThinkTwiceModel(nn.Module):
         value_cams = jnp.moveaxis(value, 1, 0)                 # (N, B, sumHW, 256)
         fpn_value = {"maps": maps, "flat": value_cams}
 
-        outs = ThinkTwiceDecoder(m, self.use_lidar_look, name="decoder")(
+        outs = ThinkTwiceDecoder(m, self.use_lidar_look, name="decoder",
+                                 dtype=bf16)(
             flat_feat, grid32, measurement, ego2img, fpn_value,
             spatial_shapes, pyramid, lidar_hr,
             teacher_wp=teacher_wp, teacher_ctrl_sp=teacher_ctrl_sp,
@@ -139,7 +153,13 @@ class ThinkTwiceModel(nn.Module):
         outs["seg"] = cam_out["seg"]
         outs["mid_feature"] = mids
         outs["measurement"] = measurement
-        return outs
+        # every loss consumes f32: cast any bf16 leaf (refine/teacher feature
+        # stacks, mids) in one sweep at the model boundary
+        return jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if x.dtype == jnp.bfloat16 else x,
+            outs,
+        )
 
 
 # ---------------------------------------------------------------------------

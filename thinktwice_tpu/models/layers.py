@@ -51,13 +51,15 @@ class SEModule(nn.Module):
     """Squeeze-excitation (code/utils.py:84-121 SEModule)."""
 
     reduction: int = 16
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         s = jnp.mean(x, axis=(-3, -2), keepdims=True)
-        s = nn.relu(nn.Conv(max(c // self.reduction, 4), (1, 1))(s))
-        s = nn.sigmoid(nn.Conv(c, (1, 1))(s))
+        s = nn.relu(nn.Conv(max(c // self.reduction, 4), (1, 1),
+                            dtype=self.dtype)(s))
+        s = nn.sigmoid(nn.Conv(c, (1, 1), dtype=self.dtype)(s))
         return x * s
 
 
@@ -66,14 +68,16 @@ class SEBasicBlock(nn.Module):
     BEV pyramid (encoder_decoder_framework.py MLP21/MLP10/MLP4/MLP2)."""
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        h = ConvGN(self.features)(x)
-        h = ConvGN(self.features, act=False)(h)
-        h = SEModule()(h)
+        h = ConvGN(self.features, dtype=self.dtype)(x)
+        h = ConvGN(self.features, act=False, dtype=self.dtype)(h)
+        h = SEModule(dtype=self.dtype)(h)
         if x.shape[-1] != self.features:
-            x = nn.Conv(self.features, (1, 1), use_bias=False)(x)
+            x = nn.Conv(self.features, (1, 1), use_bias=False,
+                        dtype=self.dtype)(x)
         return nn.relu(x + h)
 
 
@@ -82,11 +86,12 @@ class MLP(nn.Module):
 
     features: Sequence[int]
     final_act: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         for i, f in enumerate(self.features):
-            x = nn.Dense(f)(x)
+            x = nn.Dense(f, dtype=self.dtype)(x)
             if i < len(self.features) - 1 or self.final_act:
                 x = nn.relu(x)
         return x

@@ -63,7 +63,11 @@ def ms_deform_attn(
         y = loc[..., 1] * H - 0.5
         x0 = jnp.floor(x).astype(jnp.int32)
         y0 = jnp.floor(y).astype(jnp.int32)
-        fx, fy = x - x0, y - y0
+        # sub-pixel fractions computed in the location dtype (f32), then
+        # cast to the value dtype so a bf16 value keeps the whole
+        # interpolation (and the output) in bf16
+        fx = (x - x0).astype(value.dtype)
+        fy = (y - y0).astype(value.dtype)
 
         def tap(xi, yi, v=v, H=H, W=W):
             inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
