@@ -19,6 +19,9 @@ if [ "$1" = "--" ]; then shift; fi
 
 for attempt in $(seq 0 "$MAX_RESTARTS"); do
   echo "[watchdog] attempt $attempt: $* (stall budget ${STALL_S}s)" >&2
+  # reset the staleness clock: the JSONL may be hours old from a previous
+  # run, and compile warmup takes minutes before the first new write
+  touch "$LOG" 2>/dev/null
   "$@" &
   PID=$!
   echo "$PID" > /tmp/train_watchdog.pid
