@@ -90,6 +90,10 @@ def main():
                     help="comma list (default: all six)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--no-scenarios", action="store_true")
+    ap.add_argument("--no-courtesy-yield", action="store_true",
+                    help="disable the NPC courtesy yield (liveness deviation "
+                         "from CARLA TM, sim/traffic.py) for A/B fidelity "
+                         "measurement — VERDICT r4 task 5")
     ap.add_argument("--worlds-per-batch", type=int, default=6)
     ap.add_argument("--segment", type=int, default=256)
     ap.add_argument("--resume", action="store_true")
@@ -108,6 +112,7 @@ def main():
             max_stop_signs=32,
             max_route_len=MAX_ROUTE_LEN,
             max_scenarios=8,
+            courtesy_yield=not args.no_courtesy_yield,
         )
     )
 

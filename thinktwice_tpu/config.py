@@ -57,6 +57,10 @@ class SimConfig:
                                     # free lane (outlasts any red phase; stands
                                     # in for TrafficManager's global flow —
                                     # without it queue deadlocks are permanent)
+    courtesy_yield: bool = True     # NPCs hold short of a long-blocked ego's
+                                    # route (liveness deviation from CARLA TM,
+                                    # sim/traffic.py; False = reference-strict
+                                    # dynamics for A/B measurement)
 
     # Route progress / failure semantics.
     blocked_speed: float = 0.1      # m/s  (route_scenario.py:579-583)

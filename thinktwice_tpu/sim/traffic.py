@@ -425,7 +425,7 @@ def traffic_policy(
     # nothing about junction saturation, and holding green cross-traffic
     # every light cycle would both deadlock flows and make benchmarks
     # easier than reference conditions (ADVICE r4).
-    if ego_route is not None:
+    if ego_route is not None and cfg.courtesy_yield:
         dseg = jnp.linalg.norm(
             path[:, :, None, :] - ego_route[None, None, :, :], axis=-1
         )                                                    # (V, 8, K)
@@ -497,10 +497,11 @@ def traffic_policy(
             gap_front=gap_front, d_red=d_red,
             yielding=must_yield | lane_conflict, hold=hold,
             v_turn=v_turn, v_des=v_des,
-            courteous=(courteous if ego_route is not None
+            courteous=(courteous
+                       if ego_route is not None and cfg.courtesy_yield
                        else jnp.zeros((V,), bool)),
             court_d_conf=(jnp.where(has_conf, d_conf, 1e4)
-                          if ego_route is not None
+                          if ego_route is not None and cfg.courtesy_yield
                           else jnp.full((V,), 1e4)),
         )
     return yaw_rate, accel, new_wp, loop_jump
