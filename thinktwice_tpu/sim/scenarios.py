@@ -42,6 +42,15 @@ KIND_BLOCKED_OVERTAKE = 7   # Scenario5 OtherLeadingVehicle
                             # (other_leading_vehicle.py): the lead decelerates
                             # while an adjacent-lane vehicle blocks the
                             # overtake (blocker slot index in param[3])
+KIND_TL_MANIPULATOR = 8     # srunner TrafficLightManipulator
+                            # (atomic_behaviors.py:2100-2270): while running,
+                            # lights near the trigger whose heading matches
+                            # param[1] are forced to the state in param[3]
+                            # (0 green / 2 red) — the staging primitive the
+                            # signalized-junction scenarios use to create a
+                            # crossing conflict. Applied as an override in
+                            # step_world via scenario_tl_override; no actor
+                            # slot is consumed.
 
 ARMED, RUNNING, DONE = 0, 1, 2
 
@@ -63,6 +72,8 @@ LEAD_SLOW_SPEED = 4.0         # OtherLeadingVehicle decelerated lead speed
 BLOCKER_SPEED = 5.5
 OVERTAKE_DURATION = 14.0
 WALKER_SIDE_OFFSET = 6.0      # roadside spawn distance from the lane center
+TL_FORCE_DURATION = 20.0      # s a manipulated light phase is held
+TL_FORCE_RADIUS = 25.0        # m around the trigger a light can be grabbed
 
 
 def step_scenarios(
@@ -98,9 +109,10 @@ def step_scenarios(
             ONCOMING_DURATION,
             CYCLIST_DURATION,
             OVERTAKE_DURATION,
+            TL_FORCE_DURATION,
         ]
     )
-    duration = durations[jnp.clip(scen.kind, 0, 7)]
+    duration = durations[jnp.clip(scen.kind, 0, 8)]
     new_timer = jnp.where(
         scen.state == RUNNING, scen.timer + dt, jnp.where(fire, 0.0, scen.timer)
     )
@@ -310,3 +322,31 @@ def step_scenarios(
         scripted_mask,
         scripted_speed,
     )
+
+
+def scenario_tl_override(scen: ScenarioState, tl_pos, tl_yaw, tl_valid):
+    """(NL,) int32 forced light states: -1 = no override.
+
+    KIND_TL_MANIPULATOR slots in RUNNING grab every valid light within
+    TL_FORCE_RADIUS of their trigger whose heading is within 60° of
+    param[1], and pin it to param[3] (TL_GREEN=0 / TL_RED=2) — the srunner
+    TrafficLightManipulator's freeze-a-phase primitive
+    (atomic_behaviors.py:2100-2270), vectorized over slots x lights.
+    step_world applies it to traffic_light_states' output, so NPCs, the
+    criteria stop-line geometry and the rendered light fixtures all see
+    the manipulated phase consistently."""
+    from thinktwice_tpu.geometry import wrap_angle
+
+    running = (scen.state == RUNNING) & (scen.kind == KIND_TL_MANIPULATOR)
+    d = jnp.linalg.norm(
+        tl_pos[None, :, :] - scen.trigger_pos[:, None, :], axis=-1
+    )                                                        # (S, NL)
+    align = (
+        jnp.abs(wrap_angle(tl_yaw[None, :] - scen.param[:, 1, None]))
+        < jnp.pi / 3
+    )
+    hit = running[:, None] & (d < TL_FORCE_RADIUS) & align & tl_valid[None, :]
+    forced = jnp.clip(scen.param[:, 3], 0.0, 2.0).astype(jnp.int32)  # (S,)
+    any_hit = jnp.any(hit, axis=0)                           # (NL,)
+    slot = jnp.argmax(hit, axis=0)                           # first forcing slot
+    return jnp.where(any_hit, forced[slot], -1)

@@ -82,6 +82,16 @@ def step_world(
         cfg, state.scenario, state.ego.pos, state.walkers, state.traffic,
         rng_scen, sim.dt, ego_speed=state.ego.speed,
     )
+    # TrafficLightManipulator slots pin nearby aligned lights to a forced
+    # phase. Consumers of THIS tick's tl_states all see the override: NPC
+    # policy, the red-light criterion, ego_red_ahead, and the history ring
+    # the birdview renders from. Privileged agents that recompute phases
+    # from the clock (autopilot red_sign_caps) and the camera fixtures do
+    # NOT — a documented limitation of the staging primitive
+    tl_over = scen_lib.scenario_tl_override(
+        scen, town.tl_pos, town.tl_yaw, town.tl_valid
+    )
+    tl_states = jnp.where(tl_over >= 0, tl_over, tl_states)
 
     # --- ego integration ---------------------------------------------------
     steer = jnp.clip(control[0] + steer_noise, -1.0, 1.0)
