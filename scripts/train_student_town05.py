@@ -84,6 +84,11 @@ def main():
                     help="microbatches per step (must divide the batch "
                          "worlds*(frames_per_chunk-pred_len-(sweeps-1))); "
                          "bounds activation HBM to one microbatch")
+    ap.add_argument("--img-h", type=int, default=0,
+                    help="override image height (VERDICT r4 task 8: quantify "
+                         "the 256x512 flagship vs the reference's 448x896, "
+                         "configs/thinktwice.py ida final_dim)")
+    ap.add_argument("--img-w", type=int, default=0)
     ap.add_argument("--lr-total-steps", type=int, default=60_000,
                     help="cosine-decay horizon (TrainConfig.total_steps): "
                          "set to the planned TOTAL optimizer steps so the "
@@ -123,6 +128,19 @@ def main():
         train=TrainConfig(grad_accum=args.grad_accum,
                           total_steps=args.lr_total_steps),
     )
+    if args.img_h and args.img_w:
+        import dataclasses as _dc
+
+        from thinktwice_tpu.config import CameraConfig, ModelConfig
+
+        cfg = _dc.replace(
+            cfg,
+            model=_dc.replace(cfg.model, img_height=args.img_h,
+                              img_width=args.img_w),
+            camera=_dc.replace(cfg.camera, height=args.img_h,
+                               width=args.img_w),
+        )
+        print(f"image resolution override: {args.img_h}x{args.img_w}")
 
     # adversarial-scenario bank per route (the reference's collection runs
     # with scenarios active, so the expert demonstrates reactions and the
