@@ -90,8 +90,13 @@ def archive_params(path: str, params: Any, cast_floats=None):
         return x
 
     data = serialization.to_bytes(jax.tree.map(cast, params))
-    with open(os.path.abspath(path), "wb") as f:
+    # atomic replace: a watchdog/queue may kill the trainer at any moment,
+    # and a truncated msgpack would silently poison the next eval's weights
+    path = os.path.abspath(path)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(data)
+    os.replace(tmp, path)
 
 
 def restore_archive(path: str, template: Any) -> Any:
