@@ -63,6 +63,9 @@ def main():
     ap.add_argument("--routes", type=int, default=10)
     ap.add_argument("--out", default=None)
     ap.add_argument("--no-scenarios", action="store_true")
+    ap.add_argument("--max-steps", type=int, default=None,
+                    help="cap sim ticks per batch (bounded-window runs; "
+                         "records report completion at the cap)")
     ap.add_argument("--no-courtesy-yield", action="store_true",
                     help="disable the NPC courtesy yield (liveness deviation "
                          "from CARLA TM, sim/traffic.py) for A/B fidelity "
@@ -215,6 +218,7 @@ def main():
         policy_init=policy_init,
         policy_params=policy_params,
         n_vehicles=args.vehicles,
+        max_steps=args.max_steps,
         worlds_per_batch=args.worlds_per_batch,
         segment_steps=args.segment,
         out_path=out,
